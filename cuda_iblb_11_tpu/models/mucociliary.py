@@ -1,0 +1,101 @@
+"""The flagship model: mucociliary pumping — D2Q9 TRT fluid + IB cilia array.
+
+One jitted ``step`` reproduces the reference's 8-kernel per-iteration pipeline
+(main.cu:817-934) with its exact ordering semantics:
+
+  1. cilia kinematics + placement + overlap mask      (define_filament,
+     boundary_check — independent of this step's fluid)
+  2. equilibrium + Guo forcing using the PREVIOUS step's IB force (one-step
+     force lag: spread writes ``force`` at step it, equilibrium reads it at
+     it+1 — main.cu:852 vs ImmersedBoundary.cu:166-231) and the previous
+     spread-corrected velocity (recomputed here from (f, force), exactly
+     equal to the reference's buffered u)
+  3. TRT collision, pull-form streaming with walls, macro moments
+  4. IB interpolation on the UNCORRECTED macro velocity (interpolate runs
+     before spread — main.cu:900,909)
+  5. IB spreading -> new force field; velocity half-force correction;
+     cumulative flux increment Q += sum_col u_x / 192 (never reset,
+     main.cu:393)
+
+The LB sub-step is pluggable: 'jnp' (oracle, any dtype) or 'pallas' (fused
+TPU kernel).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cuda_iblb_11_tpu.core.config import SimConfig
+from cuda_iblb_11_tpu.core.state import FlowState, initial_state
+from cuda_iblb_11_tpu.models.cilia import CiliaModel
+from cuda_iblb_11_tpu.ops import ib
+from cuda_iblb_11_tpu.ops import reference as ref
+
+
+class MucociliarySim:
+    def __init__(
+        self,
+        cfg: SimConfig,
+        walls: ref.WallSpec = ref.REFERENCE_WALLS,
+        backend: str = "jnp",
+        pattern: str = "no_mucus",
+        dtype=None,
+    ):
+        cfg.validate()
+        self.cfg = cfg
+        self.walls = walls
+        self.backend = backend
+        self.dtype = jnp.dtype(dtype or cfg.dtype)
+        self.cilia = CiliaModel(cfg, dtype=self.dtype, pattern=pattern)
+        if backend == "pallas":
+            from cuda_iblb_11_tpu.ops.pallas_step import make_fused_substep
+
+            self._lb_substep = make_fused_substep(cfg, walls, self.dtype)
+        elif backend == "jnp":
+            self._lb_substep = partial(
+                ref.lb_substep, tau=cfg.tau, tau2=cfg.tau2, walls=walls
+            )
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+
+    def init_state(self) -> FlowState:
+        return initial_state(self.cfg, self.dtype)
+
+    def step(self, state: FlowState) -> FlowState:
+        cfg = self.cfg
+        s, u_s, eps, lasts_new = self.cilia.boundary_state(state.it, state.lasts)
+        f_new, rho_new, u_new = self._lb_substep(state.f, state.force)
+        f_s = ib.interpolate(rho_new, u_new, s, u_s)
+        force_new = ib.spread(f_s, s, eps, cfg.xdim, cfg.ydim)
+        q_new = state.q + ib.flux_increment(f_new, force_new, cfg.flux_x)
+        return FlowState(
+            f=f_new, force=force_new, lasts=lasts_new,
+            q=q_new, it=state.it + 1,
+        )
+
+    @partial(jax.jit, static_argnums=(0, 2), donate_argnums=(1,))
+    def run_chunk(self, state: FlowState, n_steps: int) -> FlowState:
+        """n_steps iterations inside one compiled loop."""
+        return jax.lax.fori_loop(
+            0, n_steps, lambda _, st: self.step(st), state
+        )
+
+    def fields(self, state: FlowState):
+        """(rho, u_corrected) for output — the values the reference snapshots
+        (main.cu:944-971): macro rho and the spread-corrected velocity."""
+        rho, u = ref.corrected_velocity(state.f, state.force)
+        return rho, u
+
+    def boundary_fields(self, state: FlowState):
+        """(s, u_s, eps) as of the LAST COMPLETED step, for cilia snapshots.
+        state.it is the next step index, so re-evaluate at it-1 using the
+        positions stored in ``lasts`` (which are exactly step it-1's)."""
+        it_prev = state.it - 1
+        pos = self.cilia.positions(it_prev)
+        # velocity at it_prev: pos(it_prev) - pos(it_prev - 1), zero at it=0
+        pos_before = self.cilia.positions(jnp.maximum(it_prev - 1, 0))
+        vel = jnp.where(it_prev > 0, pos - pos_before, jnp.zeros_like(pos))
+        return self.cilia.place_and_mask(pos, vel)

@@ -1,0 +1,126 @@
+"""Immersed-boundary coupling: regularized delta, interpolation, spreading, flux.
+
+Replicates CUDA_IBLB_11/ImmersedBoundary.cu with TPU-idiomatic dataflow:
+
+  * ``delta_1d`` — the 3-point Roma/Peskin regularized delta exactly as the
+    reference evaluates it, including its truncated 0.33333 / 0.16667
+    coefficients (ImmersedBoundary.cu:31-78).  Support radius 1.5 => every
+    non-zero weight lies in the 3x3 stencil around nearbyint(point).
+  * ``interpolate`` — direct-forcing IB force at each Lagrangian point:
+    F_s = sum_{3x3} 2 * delta * rho * (u_s - u)   (ImmersedBoundary.cu:117-128).
+    One vectorized gather instead of one CUDA thread per point.
+  * ``spread`` — Eulerian force field: force_j = sum_k F_s_k delta eps_k
+    (ImmersedBoundary.cu:178-231).  The reference brute-forces O(size*Ns) with
+    shared-memory tiling; here it is a scatter-add of Ns 3x3 patches, exact
+    because the delta support is 1.5.
+  * ``flux_increment`` — net-flow diagnostic: sum of u_x over the column
+    x = XDIM-5 divided by 192 (ImmersedBoundary.cu:259-264).  NOTE the
+    reference accumulates this into Q every step without ever resetting it
+    (main.cu:393), so Q is a cumulative time-integral; we preserve that.
+
+Deviation from the reference (documented): the reference's neighbour
+indexing does not wrap — ``j = y*XDIM + x`` with x possibly -1 or XDIM reads
+a row-aliased cell in ``interpolate`` (ImmersedBoundary.cu:119-122) and
+silently drops outside-domain stencil cells in ``spread``.  Since the domain
+is periodic in x, this module wraps stencil cells periodically in x (the
+physically correct treatment) and drops cells outside the y range (which the
+reference also effectively does).  The difference only affects points within
+1.5 lattice units of the x edges.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cuda_iblb_11_tpu.core.lattice import C
+
+# Reference coefficient literals (ImmersedBoundary.cu:36,43).
+_A_INNER = 0.33333
+_A_OUTER = 0.16667
+
+
+def delta_1d(r):
+    """1-D 3-point regularized delta, reference form (ImmersedBoundary.cu:31-78).
+
+    r <= 0.5:        0.33333 * (1 + sqrt(1 - 3 r^2))
+    0.5 < r <= 1.5:  0.16667 * (5 - 3 r - sqrt(-3 (1-r)^2 + 1))
+    r > 1.5:         0
+    """
+    r = jnp.abs(r)
+    inner = _A_INNER * (1.0 + jnp.sqrt(jnp.maximum(1.0 - 3.0 * r * r, 0.0)))
+    d = 1.0 - r
+    outer = _A_OUTER * (
+        5.0 - 3.0 * r - jnp.sqrt(jnp.maximum(-3.0 * d * d + 1.0, 0.0))
+    )
+    return jnp.where(r <= 0.5, inner, jnp.where(r <= 1.5, outer, 0.0))
+
+
+def _stencil(s, xdim, ydim):
+    """3x3 stencil around nearbyint of each point.
+
+    Returns (xw, yc, weight, valid): wrapped x index, clipped y index, the
+    2-D delta weight evaluated at the *unwrapped* cell coordinate, and a mask
+    zeroing cells outside the y range.  The stencil offsets are the 9 lattice
+    vectors, exactly the cells the reference's interpolate visits
+    (ImmersedBoundary.cu:117-124).
+    """
+    xs = s[:, 0][:, None]  # [Ns, 1]
+    ys = s[:, 1][:, None]
+    cx = jnp.asarray(C[:, 0], s.dtype)[None, :]  # [1, 9]
+    cy = jnp.asarray(C[:, 1], s.dtype)[None, :]
+    x0 = jnp.rint(xs)  # nearbyint: round-half-to-even, same as C nearbyint
+    y0 = jnp.rint(ys)
+    xi = x0 + cx  # unwrapped cell coordinates [Ns, 9]
+    yi = y0 + cy
+    w = delta_1d(xi - xs) * delta_1d(yi - ys)
+    valid = (yi >= 0) & (yi <= ydim - 1)
+    xw = jnp.mod(xi.astype(jnp.int32), xdim)
+    yc = jnp.clip(yi.astype(jnp.int32), 0, ydim - 1)
+    return xw, yc, w, valid
+
+
+def interpolate(rho, u, s, u_s):
+    """Direct-forcing IB force at each Lagrangian point.
+
+    rho [Y,X], u [2,Y,X] (uncorrected macro velocity), s [Ns,2], u_s [Ns,2].
+    Returns F_s [Ns,2].  (ImmersedBoundary.cu:94-133)
+    """
+    ydim, xdim = rho.shape
+    xw, yc, w, valid = _stencil(s, xdim, ydim)
+    w = jnp.where(valid, w, 0.0)
+    rho_n = rho[yc, xw]                      # [Ns, 9]
+    u_n = u[:, yc, xw]                       # [2, Ns, 9]
+    diff = u_s.T[:, :, None] - u_n           # [2, Ns, 9]
+    return jnp.sum(2.0 * w[None] * rho_n[None] * diff, axis=-1).T  # [Ns, 2]
+
+
+def spread(F_s, s, eps, xdim, ydim):
+    """Eulerian IB force field by scatter-add of 3x3 delta patches.
+
+    F_s [Ns,2], s [Ns,2], eps [Ns] (0/1 overlap mask).  Returns force [2,Y,X].
+    Equivalent to the reference's all-pairs loop (ImmersedBoundary.cu:178-231):
+    every cell outside a point's 1.5-radius support has exactly zero weight,
+    so only the 3x3 patches contribute.
+    """
+    xw, yc, w, valid = _stencil(s, xdim, ydim)
+    w = jnp.where(valid, w, 0.0) * eps[:, None].astype(w.dtype)  # [Ns, 9]
+    flat_idx = (yc * xdim + xw).reshape(-1)                      # [Ns*9]
+    vals = (F_s.T[:, :, None] * w[None]).reshape(2, -1)          # [2, Ns*9]
+    force = jnp.zeros((2, ydim * xdim), F_s.dtype)
+    force = force.at[:, flat_idx].add(vals)
+    return force.reshape(2, ydim, xdim)
+
+
+def flux_increment(f_new, force_new, flux_x, ydim_divisor=192.0):
+    """Per-step flux sample: sum_y u_x(x=flux_x, y) / 192 with the
+    half-force-corrected velocity (ImmersedBoundary.cu:249-264).
+
+    The reference hardcodes the 192 divisor (:261) — kept as a parameter with
+    the same default.
+    """
+    cx = jnp.asarray(C[:, 0], f_new.dtype)
+    col_f = f_new[:, :, flux_x]          # [9, Y]
+    rho = jnp.sum(col_f, axis=0)
+    mom_x = jnp.einsum("iy,i->y", col_f, cx)
+    ux = (mom_x + 0.5 * force_new[0, :, flux_x]) / rho
+    return jnp.sum(ux) / ydim_divisor
