@@ -20,3 +20,7 @@ from cuda_iblb_11_tpu.core import lattice
 
 __version__ = "0.1.0"
 __all__ = ["SimConfig", "lattice", "__version__"]
+
+def main():
+    from cuda_iblb_11_tpu.cli import main as _main
+    return _main()

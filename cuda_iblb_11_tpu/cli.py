@@ -1,0 +1,65 @@
+"""Command-line interface.
+
+Positional arguments exactly as the reference binary (main.cu:284-296):
+
+    c_fraction c_num c_space Re T_num T_pow I_pow P_num ShARC BigData
+
+plus framework flags (output root instead of the reference's hardcoded
+local/cluster directories, backend/precision/forcing selection,
+checkpointing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from cuda_iblb_11_tpu.core.config import SimConfig
+from cuda_iblb_11_tpu.runner import run
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="iblb",
+        description="TPU-native immersed-boundary lattice-Boltzmann "
+                    "(mucociliary pumping) simulator",
+    )
+    p.add_argument("positionals", nargs="*", metavar="ARG",
+                   help="c_fraction c_num c_space Re T_num T_pow I_pow "
+                        "P_num ShARC BigData")
+    p.add_argument("--output", default="Data/Test",
+                   help="output root directory (default: Data/Test)")
+    p.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
+    p.add_argument("--forcing", default="trt_split",
+                   choices=["trt_split", "reference"],
+                   help="Guo forcing scheme; 'reference' replicates the CUDA "
+                        "exactly but is IB-unstable at default parameters")
+    p.add_argument("--dtype", default=None,
+                   choices=[None, "float32", "float64"])
+    p.add_argument("--resume", default=None, help="checkpoint .npz to resume")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="write checkpoint.npz every N iterations")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        cfg = SimConfig.from_argv(args.positionals)
+    except SystemExit as e:
+        print(e, file=sys.stderr)
+        return 1
+    except ValueError as e:
+        print(e, file=sys.stderr)
+        return 1
+    if args.dtype:
+        cfg = cfg.replace(dtype=args.dtype)
+    run(cfg, output_root=args.output, backend=args.backend,
+        forcing=args.forcing, resume_from=args.resume,
+        checkpoint_every=args.checkpoint_every, quiet=args.quiet)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -42,21 +42,30 @@ class MucociliarySim:
         walls: ref.WallSpec = ref.REFERENCE_WALLS,
         backend: str = "jnp",
         pattern: str = "no_mucus",
+        forcing: str = "trt_split",
         dtype=None,
     ):
+        """forcing: "trt_split" (default; TRT-consistent Guo forcing, stable
+        at the reference's default parameters) or "reference" (the committed
+        CUDA's uniform (1-1/(2 TAU)) prefactor, which amplifies the effective
+        IB force ~1.75x and is linearly unstable for dense boundary nodes —
+        see ops/reference.py:guo_forcing and tests/test_stability.py)."""
         cfg.validate()
         self.cfg = cfg
         self.walls = walls
         self.backend = backend
+        self.forcing = forcing
         self.dtype = jnp.dtype(dtype or cfg.dtype)
         self.cilia = CiliaModel(cfg, dtype=self.dtype, pattern=pattern)
         if backend == "pallas":
             from cuda_iblb_11_tpu.ops.pallas_step import make_fused_substep
 
-            self._lb_substep = make_fused_substep(cfg, walls, self.dtype)
+            self._lb_substep = make_fused_substep(
+                cfg, walls, self.dtype, forcing=forcing)
         elif backend == "jnp":
             self._lb_substep = partial(
-                ref.lb_substep, tau=cfg.tau, tau2=cfg.tau2, walls=walls
+                ref.lb_substep, tau=cfg.tau, tau2=cfg.tau2, walls=walls,
+                forcing=forcing,
             )
         else:
             raise ValueError(f"unknown backend {backend!r}")

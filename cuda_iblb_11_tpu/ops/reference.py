@@ -97,10 +97,27 @@ def equilibrium(rho, u):
     )
 
 
-def guo_forcing(u, force, tau):
-    """Guo force term F_i = (1 - 1/(2 tau)) w_i [(c-u)/cs^2 + (c.u)c/cs^4].force
-    (LatticeBoltzmann.cu:53-56).  Computed for all 9 populations, exactly as
-    the reference does; the collision step then ignores F[0]."""
+def guo_forcing(u, force, tau, tau2=None, scheme="reference"):
+    """Guo force term.
+
+    scheme="reference": F_i = (1 - 1/(2 tau)) w_i [(c-u)/cs^2 + (c.u)c/cs^4].g
+    exactly as LatticeBoltzmann.cu:53-56 — the (1 - omega+/2) prefactor is
+    applied to ALL populations.  Under TRT this is inconsistent with the
+    odd-moment relaxation omega- and amplifies the effective body force to
+    g_eff = g (1 + (omega- - omega+)/2) (~1.75x at the default tau; derived
+    and verified in tests/test_poiseuille.py), which also makes the
+    IB direct-forcing feedback loop linearly UNSTABLE at the reference's
+    default parameters (tests/test_stability.py).
+
+    scheme="trt_split": the TRT-consistent Guo split (Ginzburg): the odd part
+    of the source gets (1 - omega-/2) and the even part (1 - omega+/2), which
+    restores g_eff = g exactly and stabilizes the IB coupling.  This is the
+    framework's default for production runs; "reference" reproduces the
+    committed CUDA bit-for-bit in structure.
+
+    Computed for all 9 populations, exactly as the reference does; the
+    collision step then ignores F[0].
+    """
     dtype = u.dtype
     c = jnp.asarray(C, dtype)
     w = jnp.asarray(W, dtype)
@@ -110,7 +127,19 @@ def guo_forcing(u, force, tau):
         cu[:, None] * c[:, :, None, None] / CS4
     )
     proj = jnp.sum(vec * force[None], axis=1)  # [9, Y, X]
-    return (1.0 - 1.0 / (2.0 * tau)) * w[:, None, None] * proj
+    if scheme == "reference":
+        return (1.0 - 1.0 / (2.0 * tau)) * w[:, None, None] * proj
+    if scheme == "trt_split":
+        if tau2 is None:
+            raise ValueError("trt_split forcing needs tau2")
+        s = w[:, None, None] * proj
+        s_opp = s[jnp.asarray(OPPOSITE)]
+        s_even = 0.5 * (s + s_opp)
+        s_odd = 0.5 * (s - s_opp)
+        return (1.0 - 1.0 / (2.0 * tau)) * s_even + (
+            1.0 - 1.0 / (2.0 * tau2)
+        ) * s_odd
+    raise ValueError(f"unknown forcing scheme {scheme!r}")
 
 
 def trt_collide(f, f0, F, tau, tau2):
@@ -201,7 +230,8 @@ def stream(f1, walls: WallSpec = REFERENCE_WALLS, rho_wall: float = RHO_0):
     return out
 
 
-def lb_substep(f, force, tau, tau2, walls: WallSpec = REFERENCE_WALLS):
+def lb_substep(f, force, tau, tau2, walls: WallSpec = REFERENCE_WALLS,
+               forcing: str = "reference"):
     """One full fluid update: equilibrium -> TRT collide -> stream.
 
     Inputs are this step's f and the *previous* step's IB force (one-step
@@ -214,7 +244,7 @@ def lb_substep(f, force, tau, tau2, walls: WallSpec = REFERENCE_WALLS):
     """
     rho, u = corrected_velocity(f, force)
     f0 = equilibrium(rho, u)
-    F = guo_forcing(u, force, tau)
+    F = guo_forcing(u, force, tau, tau2, scheme=forcing)
     f1 = trt_collide(f, f0, F, tau, tau2)
     f_new = stream(f1, walls)
     rho_new, u_new = moments(f_new)

@@ -1,0 +1,101 @@
+"""Run driver — the TPU-native counterpart of the reference's host loop
+(main.cu:263-1066): interval-chunked jitted execution, flux series, optional
+full-field + cilia snapshots, SimLog with completion-time prediction, and
+(new) checkpoint/resume and throughput reporting."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from cuda_iblb_11_tpu.core.config import SimConfig
+from cuda_iblb_11_tpu.io import checkpoint as ckpt
+from cuda_iblb_11_tpu.io.writers import (
+    FluxWriter, OutputPaths, SimLog, write_cilia_snapshot,
+    write_fluid_snapshot,
+)
+from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
+from cuda_iblb_11_tpu.utils.timing import ThroughputMeter, predict_completion, seconds
+
+
+def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "jnp",
+        forcing: str = "trt_split", resume_from: str | None = None,
+        checkpoint_every: int = 0, quiet: bool = False) -> dict:
+    """Execute cfg.iterations steps with interval outputs.
+
+    Returns a summary dict (runtime, MLUPS, final Q)."""
+    cfg.validate()
+    sim = MucociliarySim(cfg, backend=backend, forcing=forcing)
+
+    paths = OutputPaths(output_root, cfg)
+    paths.makedirs()
+    flux = FluxWriter(paths.flux_path, cfg)
+    simlog = SimLog(paths.simlog_path, cfg)
+    simlog.write_header(extra={"Backend": backend, "Forcing": forcing,
+                               "Dtype": str(sim.dtype)})
+
+    if resume_from:
+        state, _ = ckpt.load(resume_from, cfg)
+        if not quiet:
+            print(f"Resumed from {resume_from} at it={int(state.it)}")
+    else:
+        state = sim.init_state()
+
+    interval = max(cfg.interval, 1)
+    meter = ThroughputMeter(cells=cfg.size)
+    start_epoch = time.time()
+    t_start = seconds()
+    if not quiet:
+        print("Running Simulation...")
+
+    it = int(state.it)
+    first_interval_logged = it > 0
+    while it < cfg.iterations:
+        # Output at the START of each interval boundary, like the reference
+        # (it % INTERVAL == 0 inside the loop, main.cu:938).
+        if it % interval == 0:
+            if cfg.bigdata:
+                rho, u = sim.fields(state)
+                write_fluid_snapshot(
+                    os.path.join(paths.raw_dir, f"{it}-fluid.dat"),
+                    cfg, rho, u)
+                s, u_s, eps = sim.boundary_fields(state)
+                write_cilia_snapshot(
+                    os.path.join(paths.cilia_dir, f"{it}-cilia.dat"),
+                    cfg, s, u_s, eps)
+            flux.append(it, float(state.q))
+
+        n = min(interval - it % interval, cfg.iterations - it)
+        meter.start()
+        state = sim.run_chunk(state, n)
+        state.q.block_until_ready()
+        meter.stop(n)
+        it = int(state.it)
+
+        if not first_interval_logged and it >= interval:
+            pred = predict_completion(
+                start_epoch, seconds() - t_start, cfg.iterations // interval)
+            simlog.write_completion_estimate(pred)
+            if not quiet:
+                print("Completion time:",
+                      time.asctime(time.localtime(pred)))
+            first_interval_logged = True
+
+        if checkpoint_every and it % checkpoint_every == 0:
+            ckpt.save(os.path.join(paths.raw_dir, "checkpoint.npz"),
+                      state, cfg)
+
+    # Final flux row after the loop (main.cu:1030-1034).
+    flux.append(it, float(state.q))
+    runtime = seconds() - t_start
+    simlog.write_runtime(runtime)
+    summary = {
+        "iterations": it,
+        "runtime_s": runtime,
+        "mlups": meter.mlups,
+        "q_final": float(state.q),
+        "flux_path": paths.flux_path,
+    }
+    if not quiet:
+        print(f"Total runtime: {runtime:.2f}s  ({meter.mlups:.1f} MLUPS)")
+    return summary

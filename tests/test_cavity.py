@@ -1,0 +1,39 @@
+"""Config 2: lid-driven cavity at Re=100 vs Ghia, Ghia & Shin (1982)
+centreline values (coarse subset; 64^2 grid, moderate tolerance)."""
+
+import numpy as np
+import pytest
+
+from cuda_iblb_11_tpu.models.cavity import LidDrivenCavity
+
+# Ghia, Ghia & Shin (1982), Re=100: u_x on the vertical centreline at
+# selected y/N, and u_y on the horizontal centreline at selected x/N.
+GHIA_Y = np.array([0.0625, 0.1016, 0.2813, 0.4531, 0.6172, 0.7344, 0.9531])
+GHIA_UX = np.array([-0.04192, -0.06434, -0.15662, -0.21090, -0.13641,
+                    0.00332, 0.68717])
+GHIA_X = np.array([0.0703, 0.2344, 0.5000, 0.8047, 0.9063, 0.9453])
+GHIA_UY = np.array([0.10091, 0.17527, 0.05454, -0.24533, -0.16914,
+                    -0.10313])
+
+
+def test_cavity_re100_centrelines():
+    cav = LidDrivenCavity(n=64, re=100.0, u_lid=0.1)
+    f = cav.run(cav.init_f(), 30000)
+    ux, uy = cav.centreline_profiles(f)
+    ux, uy = np.asarray(ux), np.asarray(uy)
+    y = (np.arange(cav.n) + 0.5) / cav.n
+    x = (np.arange(cav.n) + 0.5) / cav.n
+    ux_i = np.interp(GHIA_Y, y, ux)
+    uy_i = np.interp(GHIA_X, x, uy)
+    # 64^2 grid + halfway walls: within 2.5% of lid speed.
+    np.testing.assert_allclose(ux_i, GHIA_UX, atol=0.025)
+    np.testing.assert_allclose(uy_i, GHIA_UY, atol=0.025)
+
+
+def test_cavity_is_steady():
+    cav = LidDrivenCavity(n=32, re=100.0, u_lid=0.1)
+    f = cav.run(cav.init_f(), 12000)
+    f2 = cav.run(f, 1000)
+    ux1, _ = cav.centreline_profiles(f)
+    ux2, _ = cav.centreline_profiles(f2)
+    assert float(np.max(np.abs(np.asarray(ux1 - ux2)))) < 1e-5
