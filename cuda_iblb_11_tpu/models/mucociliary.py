@@ -63,10 +63,12 @@ class MucociliarySim:
             self._lb_substep = make_fused_substep(
                 cfg, walls, self.dtype, forcing=forcing)
         elif backend == "jnp":
-            self._lb_substep = partial(
-                ref.lb_substep, tau=cfg.tau, tau2=cfg.tau2, walls=walls,
-                forcing=forcing,
-            )
+            def _substep(f, force):
+                f_new, _, _ = ref.lb_substep(
+                    f, force, cfg.tau, cfg.tau2, walls, forcing=forcing)
+                return f_new
+
+            self._lb_substep = _substep
         else:
             raise ValueError(f"unknown backend {backend!r}")
 
@@ -76,8 +78,8 @@ class MucociliarySim:
     def step(self, state: FlowState) -> FlowState:
         cfg = self.cfg
         s, u_s, eps, lasts_new = self.cilia.boundary_state(state.it, state.lasts)
-        f_new, rho_new, u_new = self._lb_substep(state.f, state.force)
-        f_s = ib.interpolate(rho_new, u_new, s, u_s)
+        f_new = self._lb_substep(state.f, state.force)
+        f_s = ib.interpolate_from_f(f_new, s, u_s)
         force_new = ib.spread(f_s, s, eps, cfg.xdim, cfg.ydim)
         q_new = state.q + ib.flux_increment(f_new, force_new, cfg.flux_x)
         return FlowState(

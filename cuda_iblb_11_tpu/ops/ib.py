@@ -94,6 +94,22 @@ def interpolate(rho, u, s, u_s):
     return jnp.sum(2.0 * w[None] * rho_n[None] * diff, axis=-1).T  # [Ns, 2]
 
 
+def interpolate_from_f(f, s, u_s):
+    """Same as :func:`interpolate` but computes the (uncorrected) macro
+    moments directly from the distributions at the Ns*9 stencil cells —
+    avoids materializing full rho/u fields on the hot path (the reference's
+    separate ``macro`` pass, LatticeBoltzmann.cu:375-411, fused away)."""
+    _, ydim, xdim = f.shape
+    xw, yc, w, valid = _stencil(s, xdim, ydim)
+    w = jnp.where(valid, w, 0.0)
+    f_n = f[:, yc, xw]                       # [9, Ns, 9cells]
+    rho_n = jnp.sum(f_n, axis=0)             # [Ns, 9cells]
+    c = jnp.asarray(C, f.dtype)
+    u_n = jnp.einsum("inm,ic->cnm", f_n, c) / rho_n[None]
+    diff = u_s.T[:, :, None] - u_n
+    return jnp.sum(2.0 * w[None] * rho_n[None] * diff, axis=-1).T
+
+
 def spread(F_s, s, eps, xdim, ydim):
     """Eulerian IB force field by scatter-add of 3x3 delta patches.
 

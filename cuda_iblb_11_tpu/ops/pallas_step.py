@@ -1,0 +1,470 @@
+"""Fused single-pass D2Q9 TRT collide+stream Pallas kernel for TPU.
+
+Replaces the reference's four separate grid kernels per step
+(equilibrium -> collision -> streaming -> macro, main.cu:852-880) with ONE
+pass over HBM: per row-tile, the distributions f and the IB force field are
+DMA'd into VMEM (with one-row halos), the macroscopic moments / equilibrium
+/ Guo forcing / TRT collision are evaluated in VMEM, and the pull-form
+streaming (periodic x via lane rolls, channel walls via edge-row fixups)
+writes the new distributions straight to the output block.  HBM traffic is
+near the floor for this update: read 9f + 2force (+8-row aligned halo
+bands), write 9f — macro moments are never materialized (the IB coupling
+gathers them at its Ns*9 stencil cells only, ops/ib.py:interpolate_from_f).
+
+Mosaic constraints shaping the code:
+  * DMA offsets and shapes on the sublane axis must be 8-aligned => halo
+    rows are fetched as aligned 8-row bands (row 7 of the band above /
+    row 0 of the band below); `pl.multiple_of` hints mark the offsets.
+  * No value-level dynamic_slice => all working slices are static; the
+    per-tile working planes are built by concatenating [halo, tile, halo].
+  * ~16 MB VMEM => the TRT update is evaluated pair-by-pair (moments
+    accumulated first), keeping ~a dozen (TY+2, X) planes live instead of
+    the naive 40+.
+
+Walls exactly as the reference (LatticeBoltzmann.cu:328-353): bottom halfway
+bounce-back, top specular slip (or no-slip for the cavity/Poiseuille
+models), periodic x.  Wall fixups happen inside the owning pair's scope.
+
+Equivalence with the pure-jnp oracle (ops/reference.py) is asserted in
+tests/test_pallas.py in interpreter mode and on real TPU by the benchmark
+harness.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuda_iblb_11_tpu.core.lattice import C, CS_KERNEL, W
+from cuda_iblb_11_tpu.ops.reference import REFERENCE_WALLS, WallSpec
+
+CS2 = CS_KERNEL * CS_KERNEL
+CS4 = CS2 * CS2
+
+CX = [int(c) for c in C[:, 0]]
+CY = [int(c) for c in C[:, 1]]
+WI = [float(w) for w in W]
+
+
+def _pick_tile(ydim: int) -> int:
+    for ty in (32, 16, 8):
+        if ydim % ty == 0:
+            return ty
+    return ydim  # single tile (must still be a multiple of 8)
+
+
+def _collide_stream_kernel(
+    f_hbm, force_hbm, out_ref, fsc, fup, fdn, foc, fo_up, fo_dn, sem,
+    *, ydim, xdim, ty, tau, tau2, forcing, walls,
+):
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    base = pl.multiple_of(i * ty, 8)
+    # Aligned 8-row halo bands; at the global edges the clamped band content
+    # only feeds wall rows, which the fixups overwrite.
+    up = pl.multiple_of(jnp.maximum(base - 8, 0), 8)
+    dn = pl.multiple_of(jnp.minimum(base + ty, ydim - 8), 8)
+
+    copies = [
+        pltpu.make_async_copy(f_hbm.at[:, pl.ds(base, ty), :], fsc, sem.at[0]),
+        pltpu.make_async_copy(f_hbm.at[:, pl.ds(up, 8), :], fup, sem.at[1]),
+        pltpu.make_async_copy(f_hbm.at[:, pl.ds(dn, 8), :], fdn, sem.at[2]),
+        pltpu.make_async_copy(force_hbm.at[:, pl.ds(base, ty), :], foc,
+                              sem.at[3]),
+        pltpu.make_async_copy(force_hbm.at[:, pl.ds(up, 8), :], fo_up,
+                              sem.at[4]),
+        pltpu.make_async_copy(force_hbm.at[:, pl.ds(dn, 8), :], fo_dn,
+                              sem.at[5]),
+    ]
+    for cp in copies:
+        cp.start()
+    for cp in copies:
+        cp.wait()
+
+    def fplane(d):
+        """(ty+2, X) working plane of population d: [halo, tile, halo]."""
+        return jnp.concatenate(
+            [fup[d, 7:8, :], fsc[d], fdn[d, 0:1, :]], axis=0)
+
+    def foplane(c):
+        return jnp.concatenate(
+            [fo_up[c, 7:8, :], foc[c], fo_dn[c, 0:1, :]], axis=0)
+
+    # --- moments (plane-by-plane accumulation keeps liveness low) --------
+    rho = fplane(0)
+    mom_x = None
+    mom_y = None
+    for d in range(1, 9):
+        p = fplane(d)
+        rho = rho + p
+        if CX[d] == 1:
+            mom_x = p if mom_x is None else mom_x + p
+        elif CX[d] == -1:
+            mom_x = mom_x - p
+        if CY[d] == 1:
+            mom_y = p if mom_y is None else mom_y + p
+        elif CY[d] == -1:
+            mom_y = mom_y - p
+    gx = foplane(0)
+    gy = foplane(1)
+    inv_rho = 1.0 / rho
+    # Previous step's spread-corrected velocity (ImmersedBoundary.cu:249-255),
+    # recomputed from (f, force) instead of stored.
+    ux = (mom_x + 0.5 * gx) * inv_rho
+    uy = (mom_y + 0.5 * gy) * inv_rho
+    u2h = 0.5 / CS2 * (ux * ux + uy * uy)
+
+    lam_p = 1.0 - 1.0 / (2.0 * tau)
+    lam_m = 1.0 - 1.0 / (2.0 * tau2)
+    omega_p = 1.0 / tau
+    omega_m = 1.0 / tau2
+
+    def eq_and_src(d):
+        """Equilibrium f0_d (LatticeBoltzmann.cu:47-50) and raw Guo source
+        w_d * (vec_d . g) (:53-56, before the scheme prefactor)."""
+        cx, cy, w = CX[d], CY[d], WI[d]
+        cu = 0.0
+        if cx == 1:
+            cu = ux
+        elif cx == -1:
+            cu = -ux
+        if cy == 1:
+            cu = cu + uy
+        elif cy == -1:
+            cu = cu - uy
+        if cx == 0 and cy == 0:
+            f0 = rho * w * (1.0 - u2h)
+            src = (-w / CS2) * (ux * gx + uy * gy)
+        else:
+            f0 = rho * w * (1.0 + cu * (1.0 / CS2) + cu * cu * (0.5 / CS4)
+                            - u2h)
+            vec_x = (cx - ux) * (1.0 / CS2) + cu * (cx * (1.0 / CS4))
+            vec_y = (cy - uy) * (1.0 / CS2) + cu * (cy * (1.0 / CS4))
+            src = w * (vec_x * gx + vec_y * gy)
+        return f0, src
+
+    def stream_write(d, f1_d):
+        """Pull-form streaming: out row r (working row r+1) takes f1 working
+        row r+1-cy, rolled by cx in x (periodic "thru" stream)."""
+        cx, cy = CX[d], CY[d]
+        rows = f1_d[1 - cy:1 - cy + ty, :]
+        if cx != 0:
+            rows = jnp.roll(rows, cx, axis=-1)
+        out_ref[d] = rows
+
+    # --- rest population: BGK with omega+, no forcing (:86) --------------
+    p0 = fplane(0)
+    f0_0, _ = eq_and_src(0)
+    stream_write(0, p0 - omega_p * (p0 - f0_0))
+    wall_rows = [None] * 9
+
+    # --- TRT pairs (1,3),(2,4),(5,7),(6,8) (:88-134), processed eagerly --
+    for a, b in ((1, 3), (2, 4), (5, 7), (6, 8)):
+        pa = fplane(a)
+        pb = fplane(b)
+        f0a, sa = eq_and_src(a)
+        f0b, sb = eq_and_src(b)
+        even = omega_p * (0.5 * (pa + pb) - 0.5 * (f0a + f0b))
+        odd = omega_m * (0.5 * (pa - pb) - 0.5 * (f0a - f0b))
+        if forcing == "reference":
+            fa = lam_p * sa
+            fb = lam_p * sb
+        else:  # trt_split: TRT-consistent Guo prefactors (see ops/reference)
+            s_even = 0.5 * (sa + sb)
+            s_odd = 0.5 * (sa - sb)
+            fa = lam_p * s_even + lam_m * s_odd
+            fb = lam_p * s_even - lam_m * s_odd
+        f1a = pa - even - odd + fa
+        f1b = pb - even + odd + fb
+        stream_write(a, f1a)
+        stream_write(b, f1b)
+        # Stash the single wall-source rows for the end-of-kernel fixups
+        # (f1 values die with the pair; a fixup may target a direction whose
+        # main write happens in a LATER pair, so fixups must run last).
+        wall_rows[a] = (f1a[1:2, :], f1a[ty:ty + 1, :])
+        wall_rows[b] = (f1b[1:2, :], f1b[ty:ty + 1, :])
+
+    # Wall fixups (working row 1 = global bottom row y=0; working row ty =
+    # global top row y=YDIM-1), after ALL main writes.
+    if walls.bottom == "noslip":
+        @pl.when(i == 0)
+        def _bottom():
+            out_ref[2, 0:1, :] = wall_rows[4][0]   # halfway bounce-back
+            out_ref[5, 0:1, :] = wall_rows[7][0]
+            out_ref[6, 0:1, :] = wall_rows[8][0]
+    if walls.top == "slip":  # specular reflection: 4<-2, 8<-5, 7<-6
+        @pl.when(i == n_tiles - 1)
+        def _top_slip():
+            out_ref[4, ty - 1:ty, :] = wall_rows[2][1]
+            out_ref[8, ty - 1:ty, :] = wall_rows[5][1]
+            out_ref[7, ty - 1:ty, :] = wall_rows[6][1]
+    elif walls.top == "noslip":  # bounce-back: 4<-2, 7<-5, 8<-6
+        @pl.when(i == n_tiles - 1)
+        def _top_noslip():
+            out_ref[4, ty - 1:ty, :] = wall_rows[2][1]
+            out_ref[7, ty - 1:ty, :] = wall_rows[5][1]
+            out_ref[8, ty - 1:ty, :] = wall_rows[6][1]
+
+
+def _pipelined_kernel(
+    f_hbm, force_hbm, out_ref, fsl, fosl, sem,
+    *, ydim, xdim, ty, tau, tau2, forcing, walls,
+):
+    """Lag-1 software-pipelined variant: grid has n_tiles+1 steps; step i
+    prefetches tile i+1 and computes output tile j = i-1.  Tile j's one-row
+    stencil halos come from the NEIGHBOR TILES' resident buffers (3 rotating
+    slots), so every HBM byte is read exactly once (80 B/cell total traffic
+    in f32) and the tile-(i+1) DMA overlaps tile-(i-1) compute.
+
+    The TRT update is evaluated in pair (even/odd) form:
+        f0+ = rho w (1 + cu^2/(2 cs^4) - u^2/(2 cs^2)),  f0- = rho w cu/cs^2
+        s+  = w (cu (c.g)/cs^4 - (u.g)/cs^2),            s-  = w (c.g)/cs^2
+    which halves the equilibrium/forcing arithmetic relative to the
+    per-direction form while staying bit-equivalent in exact arithmetic.
+    """
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0) - 1
+
+    def start_dma(tile):
+        base = pl.multiple_of(tile * ty, 8)
+        slot = tile % 4
+        pltpu.make_async_copy(
+            f_hbm.at[:, pl.ds(base, ty), :], fsl.at[slot], sem.at[slot, 0]
+        ).start()
+        pltpu.make_async_copy(
+            force_hbm.at[:, pl.ds(base, ty), :], fosl.at[slot],
+            sem.at[slot, 1],
+        ).start()
+
+    def wait_dma(tile):
+        slot = tile % 4
+        base = pl.multiple_of(tile * ty, 8)
+        pltpu.make_async_copy(
+            f_hbm.at[:, pl.ds(base, ty), :], fsl.at[slot], sem.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            force_hbm.at[:, pl.ds(base, ty), :], fosl.at[slot],
+            sem.at[slot, 1],
+        ).wait()
+
+    @pl.when(i == 0)
+    def _kickoff():
+        start_dma(0)
+
+    @pl.when(i + 1 <= n_tiles - 1)
+    def _prefetch():
+        start_dma(i + 1)
+
+    # Each tile's DMA is waited exactly once, at the step with its index —
+    # the first step that reads any of its rows (as the lower halo of the
+    # previous output tile).  Earlier tiles were waited at earlier steps.
+    @pl.when(i <= n_tiles - 1)
+    def _wait_cur():
+        wait_dma(i)
+
+    @pl.when(i >= 1)
+    def _compute():
+        j = i - 1
+        sp = (j + 3) % 4  # slot of tile j-1 (== (j-1) mod 4)
+        sc = j % 4
+        sn = (j + 1) % 4
+
+        def fplane(d):
+            return jnp.concatenate(
+                [fsl[sp, d, ty - 1:ty, :], fsl[sc, d], fsl[sn, d, 0:1, :]],
+                axis=0)
+
+        def foplane(c):
+            return jnp.concatenate(
+                [fosl[sp, c, ty - 1:ty, :], fosl[sc, c],
+                 fosl[sn, c, 0:1, :]], axis=0)
+
+        rho = fplane(0)
+        mom_x = None
+        mom_y = None
+        for d in range(1, 9):
+            p = fplane(d)
+            rho = rho + p
+            if CX[d] == 1:
+                mom_x = p if mom_x is None else mom_x + p
+            elif CX[d] == -1:
+                mom_x = mom_x - p
+            if CY[d] == 1:
+                mom_y = p if mom_y is None else mom_y + p
+            elif CY[d] == -1:
+                mom_y = mom_y - p
+        gx = foplane(0)
+        gy = foplane(1)
+        inv_rho = 1.0 / rho
+        ux = (mom_x + 0.5 * gx) * inv_rho
+        uy = (mom_y + 0.5 * gy) * inv_rho
+        u2h = (0.5 / CS2) * (ux * ux + uy * uy)
+        ug = (1.0 / CS2) * (ux * gx + uy * gy)
+
+        lam_p = 1.0 - 1.0 / (2.0 * tau)
+        lam_m = 1.0 - 1.0 / (2.0 * tau2)
+        lam_odd = lam_p if forcing == "reference" else lam_m
+        omega_p = 1.0 / tau
+        omega_m = 1.0 / tau2
+
+        def stream_write(d, f1_d):
+            cx, cy = CX[d], CY[d]
+            rows = f1_d[1 - cy:1 - cy + ty, :]
+            if cx != 0:
+                rows = jnp.roll(rows, cx, axis=-1)
+            out_ref[d] = rows
+
+        # Rest population: f0_0 = rho w0 (1 - u2h); no forcing (:86).
+        p0 = fplane(0)
+        w0 = WI[0]
+        stream_write(0, p0 - omega_p * (p0 - rho * (w0 * (1.0 - u2h))))
+
+        wall_rows = [None] * 9
+        for a, b in ((1, 3), (2, 4), (5, 7), (6, 8)):
+            cx, cy, w = CX[a], CY[a], WI[a]
+            pa = fplane(a)
+            pb = fplane(b)
+            cu = ux if cx == 1 else -ux if cx == -1 else 0.0
+            if cy == 1:
+                cu = cu + uy
+            elif cy == -1:
+                cu = cu - uy
+            cg = gx if cx == 1 else -gx if cx == -1 else 0.0
+            if cy == 1:
+                cg = cg + gy
+            elif cy == -1:
+                cg = cg - gy
+            # Pair-form equilibrium and Guo source (see docstring).
+            f0_p = rho * (w * (1.0 + cu * cu * (0.5 / CS4)) ) - (w * rho) * u2h
+            f0_m = (w / CS2) * (rho * cu)
+            s_even = w * (cu * cg * (1.0 / CS4) - ug)
+            s_odd = (w / CS2) * cg
+            f_p = 0.5 * (pa + pb)
+            f_m = 0.5 * (pa - pb)
+            even = omega_p * (f_p - f0_p)
+            odd = omega_m * (f_m - f0_m)
+            fa = lam_p * s_even + lam_odd * s_odd
+            fb = lam_p * s_even - lam_odd * s_odd
+            f1a = pa - even - odd + fa
+            f1b = pb - even + odd + fb
+            stream_write(a, f1a)
+            stream_write(b, f1b)
+            wall_rows[a] = (f1a[1:2, :], f1a[ty:ty + 1, :])
+            wall_rows[b] = (f1b[1:2, :], f1b[ty:ty + 1, :])
+
+        if walls.bottom == "noslip":
+            @pl.when(j == 0)
+            def _bottom():
+                out_ref[2, 0:1, :] = wall_rows[4][0]
+                out_ref[5, 0:1, :] = wall_rows[7][0]
+                out_ref[6, 0:1, :] = wall_rows[8][0]
+        if walls.top == "slip":
+            @pl.when(j == n_tiles - 1)
+            def _top_slip():
+                out_ref[4, ty - 1:ty, :] = wall_rows[2][1]
+                out_ref[8, ty - 1:ty, :] = wall_rows[5][1]
+                out_ref[7, ty - 1:ty, :] = wall_rows[6][1]
+        elif walls.top == "noslip":
+            @pl.when(j == n_tiles - 1)
+            def _top_noslip():
+                out_ref[4, ty - 1:ty, :] = wall_rows[2][1]
+                out_ref[7, ty - 1:ty, :] = wall_rows[5][1]
+                out_ref[8, ty - 1:ty, :] = wall_rows[6][1]
+
+
+def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32,
+                       forcing: str = "trt_split", interpret: bool | None = None,
+                       tile_y: int | None = None, pipeline: bool = True):
+    """Build the jittable fused (f, force) -> f_new update for a fixed config.
+
+    pipeline=True selects the lag-1 software-pipelined kernel (minimal HBM
+    traffic, DMA/compute overlap); pipeline=False the simpler halo-band
+    kernel.  Requirements: x periodic (the reference's channel), bottom
+    no-slip, top slip or no-slip, ydim a multiple of 8.  Other wall
+    combinations use the jnp path.
+    """
+    if walls.left != "periodic":
+        raise NotImplementedError("pallas backend requires periodic x walls")
+    if walls.bottom not in ("noslip",) or walls.top not in ("slip", "noslip"):
+        raise NotImplementedError(
+            "pallas backend supports bottom=noslip, top=slip|noslip")
+    ydim, xdim = cfg.ydim, cfg.xdim
+    if ydim % 8:
+        raise ValueError("pallas backend requires ydim % 8 == 0")
+    ty = tile_y or _pick_tile(ydim)
+    if ydim % ty:
+        raise ValueError(f"ydim {ydim} not divisible by tile {ty}")
+    n_tiles = ydim // ty
+    dtype = jnp.dtype(dtype)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    common = dict(
+        ydim=ydim, xdim=xdim, ty=ty,
+        tau=float(cfg.tau), tau2=float(cfg.tau2), forcing=forcing,
+        walls=walls,
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    out_shape = jax.ShapeDtypeStruct((9, ydim, xdim), dtype)
+
+    if pipeline:
+        kernel = functools.partial(_pipelined_kernel, **common)
+        bytes_total = (11 + 9) * ydim * xdim * dtype.itemsize
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_tiles + 1,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (9, ty, xdim), lambda i: (0, jnp.maximum(i - 1, 0), 0),
+                memory_space=pltpu.VMEM),
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((4, 9, ty, xdim), dtype),  # f slots
+                pltpu.VMEM((4, 2, ty, xdim), dtype),  # force slots
+                pltpu.SemaphoreType.DMA((4, 2)),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=int(ydim * xdim * 200),
+                bytes_accessed=int(bytes_total),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )
+    else:
+        kernel = functools.partial(_collide_stream_kernel, **common)
+        bytes_per_tile = (11 * (ty + 16) + 9 * ty) * xdim * dtype.itemsize
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (9, ty, xdim), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((9, ty, xdim), dtype),   # f tile rows
+                pltpu.VMEM((9, 8, xdim), dtype),    # f halo band above
+                pltpu.VMEM((9, 8, xdim), dtype),    # f halo band below
+                pltpu.VMEM((2, ty, xdim), dtype),   # force tile rows
+                pltpu.VMEM((2, 8, xdim), dtype),    # force halo band above
+                pltpu.VMEM((2, 8, xdim), dtype),    # force halo band below
+                pltpu.SemaphoreType.DMA((6,)),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=int(ydim * xdim * 250),
+                bytes_accessed=int(n_tiles * bytes_per_tile),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )
+
+    def substep(f, force):
+        return call(f.astype(dtype), force.astype(dtype))
+
+    return substep

@@ -1,0 +1,82 @@
+"""Fused Pallas collide+stream kernel vs the pure-jnp oracle (interpreter
+mode on CPU; the benchmark harness repeats the comparison on real TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_iblb_11_tpu.core.config import SimConfig
+from cuda_iblb_11_tpu.core.lattice import W
+from cuda_iblb_11_tpu.ops import reference as ref
+from cuda_iblb_11_tpu.ops.pallas_step import make_fused_substep
+
+RNG = np.random.default_rng(11)
+
+
+def _random_state(ydim, xdim, dtype):
+    rho = 1.0 + 0.02 * RNG.standard_normal((ydim, xdim))
+    u = 0.01 * RNG.standard_normal((2, ydim, xdim))
+    f = np.asarray(ref.equilibrium(jnp.asarray(rho), jnp.asarray(u)))
+    f = f + 1e-4 * RNG.standard_normal(f.shape) * np.asarray(W)[:, None, None]
+    force = 1e-4 * RNG.standard_normal((2, ydim, xdim))
+    return jnp.asarray(f, dtype), jnp.asarray(force, dtype)
+
+
+@pytest.mark.parametrize("ydim,xdim,tile_y", [
+    (32, 256, 8),    # multi-tile
+    (16, 128, 16),   # single tile
+    (24, 128, 8),    # 3 tiles
+])
+@pytest.mark.parametrize("forcing", ["trt_split", "reference"])
+def test_fused_matches_oracle(ydim, xdim, tile_y, forcing):
+    cfg = SimConfig(c_num=2, c_space=xdim // 2, ydim=ydim, dtype="float64")
+    f, force = _random_state(ydim, xdim, jnp.float64)
+    fused = make_fused_substep(cfg, dtype=jnp.float64, forcing=forcing,
+                               interpret=True, tile_y=tile_y)
+    got = np.asarray(fused(f, force))
+    want, _, _ = ref.lb_substep(f, force, cfg.tau, cfg.tau2,
+                                ref.REFERENCE_WALLS, forcing=forcing)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-12, atol=1e-15)
+
+
+def test_fused_matches_oracle_noslip_top():
+    ydim, xdim = 32, 128
+    walls = ref.WallSpec(bottom="noslip", top="noslip")
+    cfg = SimConfig(c_num=2, c_space=64, ydim=ydim, dtype="float64")
+    f, force = _random_state(ydim, xdim, jnp.float64)
+    fused = make_fused_substep(cfg, walls=walls, dtype=jnp.float64,
+                               interpret=True, tile_y=8)
+    got = np.asarray(fused(f, force))
+    want, _, _ = ref.lb_substep(f, force, cfg.tau, cfg.tau2, walls,
+                                forcing="trt_split")
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-12, atol=1e-15)
+
+
+def test_fused_multi_step_float32_accuracy():
+    # 20 steps f32 fused vs f64 oracle on a small channel with force.
+    ydim, xdim = 32, 128
+    cfg = SimConfig(c_num=2, c_space=64, ydim=ydim, dtype="float64")
+    f64, force64 = _random_state(ydim, xdim, jnp.float64)
+    fused32 = make_fused_substep(cfg, dtype=jnp.float32, interpret=True,
+                                 tile_y=8)
+    f32 = f64.astype(jnp.float32)
+    for _ in range(20):
+        f64, _, _ = ref.lb_substep(f64, force64, cfg.tau, cfg.tau2,
+                                   ref.REFERENCE_WALLS, forcing="trt_split")
+        f32 = fused32(f32, force64)
+    rel = float(jnp.linalg.norm(f32.astype(jnp.float64) - f64)
+                / jnp.linalg.norm(f64))
+    assert rel < 1e-5, rel
+
+
+def test_halo_band_variant_matches_oracle():
+    # Non-pipelined (halo-band) kernel variant.
+    ydim, xdim = 32, 256
+    cfg = SimConfig(c_num=2, c_space=xdim // 2, ydim=ydim, dtype="float64")
+    f, force = _random_state(ydim, xdim, jnp.float64)
+    fused = make_fused_substep(cfg, dtype=jnp.float64, interpret=True,
+                               tile_y=8, pipeline=False)
+    got = np.asarray(fused(f, force))
+    want, _, _ = ref.lb_substep(f, force, cfg.tau, cfg.tau2,
+                                ref.REFERENCE_WALLS, forcing="trt_split")
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-12, atol=1e-15)
