@@ -1,0 +1,235 @@
+"""Multi-chip spatial domain decomposition (the stencil analogue of DP+SP).
+
+The reference is strictly single-GPU (cudaSetDevice + no MPI/NCCL anywhere,
+main.cu:395-396); scale-out is a new first-class capability of this
+framework: the [9, Y, X] lattice is sharded over a 2-D device mesh
+('y', 'x'), each step exchanges a 1-cell halo of the distributions and the
+IB force field with the 4 neighbours via ring `jax.lax.ppermute` (ICI
+traffic only), and the scalar reductions (IB force gather, flux integral)
+ride `jax.lax.psum`.
+
+Design notes
+  * x is globally periodic, so the x-halo ring is exact.  y has walls; the
+    y-ring delivers wrapped junk to the outermost shards, which is harmless
+    because the only rows that would read it are wall rows, overwritten by
+    the bounce-back / slip fixups (same trick as the Pallas kernel's
+    clamped halo bands).
+  * The cilia kinematics are O(c_num*96) and run replicated on every shard.
+  * IB interpolation gathers each Lagrangian point's 3x3 stencil from the
+    shard that owns each cell (ownership-masked local gather + psum);
+    spreading scatters the masked 3x3 patches into the local force block.
+    Every stencil cell is owned by exactly one shard, so the psum is exact.
+  * The flux column x = XDIM-5 lives in one x-shard; a masked column sum +
+    psum reproduces the reference's Q accumulation (ImmersedBoundary.cu:
+    259-264) bit-for-bit across shard counts (verified in
+    tests/test_sharding.py: 1-shard vs N-shard equality).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cuda_iblb_11_tpu.core.config import SimConfig
+from cuda_iblb_11_tpu.core.lattice import C, MIRROR_Y, OPPOSITE
+from cuda_iblb_11_tpu.core.state import FlowState, initial_state
+from cuda_iblb_11_tpu.models.cilia import CiliaModel
+from cuda_iblb_11_tpu.ops import ib
+from cuda_iblb_11_tpu.ops import reference as ref
+
+
+def make_mesh(n_y: int, n_x: int, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if devices.size < n_y * n_x:
+        raise ValueError(f"need {n_y * n_x} devices, have {devices.size}")
+    return Mesh(devices[: n_y * n_x].reshape(n_y, n_x), ("y", "x"))
+
+
+def _exchange_halo(arr, axis_name, axis):
+    """Ring-exchange 1-cell halos along `axis` over mesh axis `axis_name`.
+    Returns the array extended by one slot on each side of `axis`."""
+    n = jax.lax.psum(1, axis_name)
+    idx = [slice(None)] * arr.ndim
+    idx_lo = list(idx)
+    idx_lo[axis] = slice(0, 1)
+    idx_hi = list(idx)
+    idx_hi[axis] = slice(arr.shape[axis] - 1, arr.shape[axis])
+    lo_edge = arr[tuple(idx_lo)]
+    hi_edge = arr[tuple(idx_hi)]
+    # halo below comes from the previous shard's top edge, and vice versa
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    halo_lo = jax.lax.ppermute(hi_edge, axis_name, fwd)
+    halo_hi = jax.lax.ppermute(lo_edge, axis_name, bwd)
+    return jnp.concatenate([halo_lo, arr, halo_hi], axis=axis)
+
+
+def _local_lb_substep(f_loc, force_loc, tau, tau2, walls, forcing,
+                      is_bottom, is_top):
+    """One fluid update on a local block with halo exchange.
+
+    f_loc [9, Yl, Xl] -> f_new [9, Yl, Xl].  Equivalent to
+    ops.reference.lb_substep on the assembled global array.
+    """
+    f_ext = _exchange_halo(_exchange_halo(f_loc, "x", 2), "y", 1)
+    fo_ext = _exchange_halo(_exchange_halo(force_loc, "x", 2), "y", 1)
+
+    rho, u = ref.corrected_velocity(f_ext, fo_ext)
+    f0 = ref.equilibrium(rho, u)
+    F = ref.guo_forcing(u, fo_ext, tau, tau2, scheme=forcing)
+    f1 = ref.trt_collide(f_ext, f0, F, tau, tau2)
+
+    yl = f_loc.shape[1]
+    xl = f_loc.shape[2]
+    # Pull-form gather from the extended block (interior + periodic-x are
+    # both plain shifted slices thanks to the halos).
+    pulled = [
+        f1[d, 1 - int(C[d, 1]):1 - int(C[d, 1]) + yl,
+           1 - int(C[d, 0]):1 - int(C[d, 0]) + xl]
+        for d in range(9)
+    ]
+    f_new = jnp.stack(pulled)
+
+    # Wall fixups on the outermost shards (same-cell permuted populations,
+    # LatticeBoltzmann.cu:328-353).  f1's interior offset is +1.
+    def fix_row(f_new, row_loc, row_ext, perm, incoming, active):
+        for d in incoming:
+            src = int(perm[d])
+            wall_val = f1[src, row_ext, 1:1 + xl]
+            cur = f_new[d, row_loc, :]
+            f_new = f_new.at[d, row_loc, :].set(
+                jnp.where(active, wall_val, cur))
+        return f_new
+
+    if walls.bottom == "noslip":
+        f_new = fix_row(f_new, 0, 1, OPPOSITE, (2, 5, 6), is_bottom)
+    if walls.top == "slip":
+        f_new = fix_row(f_new, yl - 1, yl, MIRROR_Y, (4, 7, 8), is_top)
+    elif walls.top == "noslip":
+        f_new = fix_row(f_new, yl - 1, yl, OPPOSITE, (4, 7, 8), is_top)
+    return f_new
+
+
+class ShardedMucociliarySim:
+    """Sharded counterpart of models.mucociliary.MucociliarySim: the whole
+    step (fluid + IB + cilia + flux) runs inside one shard_map."""
+
+    def __init__(self, cfg: SimConfig, mesh: Mesh,
+                 walls: ref.WallSpec = ref.REFERENCE_WALLS,
+                 forcing: str = "trt_split", pattern: str = "no_mucus",
+                 dtype=None):
+        cfg.validate()
+        self.cfg = cfg
+        self.mesh = mesh
+        self.walls = walls
+        self.forcing = forcing
+        self.dtype = jnp.dtype(dtype or cfg.dtype)
+        self.cilia = CiliaModel(cfg, dtype=self.dtype, pattern=pattern)
+        self.n_y, self.n_x = mesh.devices.shape
+        if cfg.ydim % self.n_y or cfg.xdim % self.n_x:
+            raise ValueError("grid dims must divide the mesh dims")
+        self.yl = cfg.ydim // self.n_y
+        self.xl = cfg.xdim // self.n_x
+
+        self._step_sharded = jax.jit(
+            jax.shard_map(
+                self._step_local,
+                mesh=mesh,
+                in_specs=(P(None, "y", "x"), P(None, "y", "x"), P(), P(),
+                          P()),
+                out_specs=(P(None, "y", "x"), P(None, "y", "x"), P(), P(),
+                           P()),
+            ),
+            donate_argnums=(0, 1),
+        )
+
+    # -- sharding helpers ---------------------------------------------------
+
+    def grid_sharding(self):
+        return NamedSharding(self.mesh, P(None, "y", "x"))
+
+    def replicated(self):
+        return NamedSharding(self.mesh, P())
+
+    def init_state(self) -> FlowState:
+        st = initial_state(self.cfg, self.dtype)
+        return FlowState(
+            f=jax.device_put(st.f, self.grid_sharding()),
+            force=jax.device_put(st.force, self.grid_sharding()),
+            lasts=jax.device_put(st.lasts, self.replicated()),
+            q=jax.device_put(st.q, self.replicated()),
+            it=jax.device_put(st.it, self.replicated()),
+        )
+
+    # -- the per-shard step ---------------------------------------------------
+
+    def _step_local(self, f_loc, force_loc, lasts, q, it):
+        cfg = self.cfg
+        iy = jax.lax.axis_index("y")
+        ix = jax.lax.axis_index("x")
+        is_bottom = iy == 0
+        is_top = iy == self.n_y - 1
+        y0 = iy * self.yl
+        x0 = ix * self.xl
+
+        # Cilia kinematics: replicated (tiny).
+        s, u_s, eps, lasts_new = self.cilia.boundary_state(it, lasts)
+
+        f_new = _local_lb_substep(
+            f_loc, force_loc, cfg.tau, cfg.tau2, self.walls, self.forcing,
+            is_bottom, is_top)
+
+        # --- IB interpolation: ownership-masked local gather + psum ------
+        xw, yc, w, valid = ib._stencil(s, cfg.xdim, cfg.ydim)
+        w = jnp.where(valid, w, 0.0)                       # [Ns, 9]
+        own = ((yc >= y0) & (yc < y0 + self.yl)
+               & (xw >= x0) & (xw < x0 + self.xl))
+        yloc = jnp.clip(yc - y0, 0, self.yl - 1)
+        xloc = jnp.clip(xw - x0, 0, self.xl - 1)
+        f_cells = f_new[:, yloc, xloc]                     # [9, Ns, 9]
+        rho_c = jnp.sum(f_cells, axis=0)
+        c = jnp.asarray(C, f_new.dtype)
+        mom = jnp.einsum("inm,ic->cnm", f_cells, c)
+        u_c = mom / rho_c[None]
+        diff = u_s.T[:, :, None] - u_c                     # [2, Ns, 9]
+        wm = jnp.where(own, w, 0.0)
+        f_s = jnp.sum(2.0 * wm[None] * rho_c[None] * diff, axis=-1).T
+        f_s = jax.lax.psum(jax.lax.psum(f_s, "x"), "y")    # [Ns, 2]
+
+        # --- IB spreading into the local block ---------------------------
+        ws = wm * eps[:, None].astype(w.dtype)
+        flat = (yloc * self.xl + xloc).reshape(-1)
+        vals = (f_s.T[:, :, None] * ws[None]).reshape(2, -1)
+        force_new = jnp.zeros((2, self.yl * self.xl), f_new.dtype)
+        force_new = force_new.at[:, flat].add(vals).reshape(
+            2, self.yl, self.xl)
+
+        # --- flux: masked column sum + psum (cumulative Q) ---------------
+        fx = cfg.flux_x
+        col_owned = (fx >= x0) & (fx < x0 + self.xl)
+        xf = jnp.clip(fx - x0, 0, self.xl - 1)
+        cx = jnp.asarray(C[:, 0], f_new.dtype)
+        col_f = f_new[:, :, xf]
+        rho_col = jnp.sum(col_f, axis=0)
+        mom_col = jnp.einsum("iy,i->y", col_f, cx)
+        ux_col = (mom_col + 0.5 * force_new[0, :, xf]) / rho_col
+        contrib = jnp.where(col_owned, jnp.sum(ux_col), 0.0) / 192.0
+        q_new = q + jax.lax.psum(jax.lax.psum(contrib, "x"), "y")
+
+        return f_new, force_new, lasts_new, q_new, it + 1
+
+    # -- public API -----------------------------------------------------------
+
+    def step(self, state: FlowState) -> FlowState:
+        f, force, lasts, q, it = self._step_sharded(
+            state.f, state.force, state.lasts, state.q, state.it)
+        return FlowState(f=f, force=force, lasts=lasts, q=q, it=it)
+
+    def run(self, state: FlowState, n_steps: int) -> FlowState:
+        for _ in range(n_steps):
+            state = self.step(state)
+        return state

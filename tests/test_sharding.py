@@ -1,0 +1,58 @@
+"""Multi-chip spatial decomposition: N-shard runs must reproduce the
+single-device oracle (BASELINE config 5, tested on a virtual CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_iblb_11_tpu.core.config import SimConfig
+from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
+from cuda_iblb_11_tpu.parallel.sharded import ShardedMucociliarySim, make_mesh
+
+CFG = SimConfig(c_num=4, c_space=48, t_num=1.0, t_pow=5, dtype="float64")
+
+needs_8_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@needs_8_devices
+@pytest.mark.parametrize("n_y,n_x", [(1, 4), (2, 2), (2, 4), (4, 2)])
+def test_sharded_matches_unsharded(n_y, n_x):
+    mesh = make_mesh(n_y, n_x)
+    ssim = ShardedMucociliarySim(CFG, mesh)
+    usim = MucociliarySim(CFG)
+
+    sst = ssim.run(ssim.init_state(), 8)
+    ust = usim.init_state()
+    for _ in range(8):
+        ust = usim.step(ust)
+
+    np.testing.assert_allclose(
+        np.asarray(sst.f), np.asarray(ust.f), rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(
+        np.asarray(sst.force), np.asarray(ust.force), rtol=1e-9, atol=1e-18)
+    np.testing.assert_allclose(float(sst.q), float(ust.q), rtol=1e-10)
+    assert int(sst.it) == int(ust.it) == 8
+
+
+@needs_8_devices
+def test_shard_count_invariance():
+    st_a = ShardedMucociliarySim(CFG, make_mesh(1, 2))
+    st_b = ShardedMucociliarySim(CFG, make_mesh(2, 4))
+    a = st_a.run(st_a.init_state(), 5)
+    b = st_b.run(st_b.init_state(), 5)
+    np.testing.assert_allclose(
+        np.asarray(a.f), np.asarray(b.f), rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(float(a.q), float(b.q), rtol=1e-10)
+
+
+@needs_8_devices
+def test_sharded_is_actually_sharded():
+    mesh = make_mesh(2, 4)
+    ssim = ShardedMucociliarySim(CFG, mesh)
+    st = ssim.init_state()
+    # f must be distributed over the 8 devices, one block each.
+    assert len(st.f.sharding.device_set) == 8
+    st = ssim.step(st)
+    assert len(st.f.sharding.device_set) == 8
