@@ -40,7 +40,10 @@ def main():
     try:
         sim = MucociliarySim(cfg, backend=sim_backend)
         state = sim.init_state()
-        state = sim.run_chunk(state, 5)  # warmup/compile
+        # warm up with the SAME step count (n_steps is a static arg: a
+        # different count would compile a second executable inside the
+        # timed region)
+        state = sim.run_chunk(state, steps)
         jax.block_until_ready(state.f)
 
         t0 = time.perf_counter()

@@ -133,6 +133,14 @@ class SimConfig:
     def flux_x(self) -> int:
         return self.xdim - self.flux_column_offset
 
+    @property
+    def force_band(self) -> int:
+        """Rows of the IB force band.  Every Lagrangian point lies below
+        y ~ length*1.02 + 2.5 (beat envelope + base shift + delta support),
+        so the Eulerian force field is identically zero above this band;
+        the single-chip state stores only the band (8-row aligned)."""
+        return min(self.ydim, -(-(self.length + 32) // 8) * 8)
+
     # ---- validation ---------------------------------------------------------
 
     def validate(self) -> None:

@@ -28,7 +28,7 @@ from cuda_iblb_11_tpu.core.lattice import Q as NQ, RHO_0, W
 
 class FlowState(NamedTuple):
     f: jax.Array       # [9, Y, X]
-    force: jax.Array   # [2, Y, X]
+    force: jax.Array   # [2, BAND, X] — IB force band (zero above cfg.force_band)
     lasts: jax.Array   # [c_num, nodes, 2] previous node positions (beat frame)
     q: jax.Array       # [] cumulative flux
     it: jax.Array      # [] int32 step counter
@@ -45,7 +45,7 @@ def initial_state(cfg: SimConfig, dtype=None) -> FlowState:
     f = jnp.broadcast_to(
         (RHO_0 * W).astype(dtype)[:, None, None], (NQ, y, x)
     ).copy()
-    force = jnp.zeros((2, y, x), dtype)
+    force = jnp.zeros((2, cfg.force_band, x), dtype)
     lasts = jnp.zeros((cfg.c_num, cfg.length, 2), dtype)
     q = jnp.zeros((), dtype)
     it = jnp.zeros((), jnp.int32)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from cuda_iblb_11_tpu.core.config import SimConfig
 from cuda_iblb_11_tpu.core.state import FlowState, initial_state
 from cuda_iblb_11_tpu.models.cilia import CiliaModel
-from cuda_iblb_11_tpu.ops import ib
+from cuda_iblb_11_tpu.ops import ib, ib_band
 from cuda_iblb_11_tpu.ops import reference as ref
 
 
@@ -63,7 +63,8 @@ class MucociliarySim:
             self._lb_substep = make_fused_substep(
                 cfg, walls, self.dtype, forcing=forcing)
         elif backend == "jnp":
-            def _substep(f, force):
+            def _substep(f, force_band):
+                force = ib_band.pad_band(force_band, cfg.ydim)
                 f_new, _, _ = ref.lb_substep(
                     f, force, cfg.tau, cfg.tau2, walls, forcing=forcing)
                 return f_new
@@ -79,8 +80,11 @@ class MucociliarySim:
         cfg = self.cfg
         s, u_s, eps, lasts_new = self.cilia.boundary_state(state.it, state.lasts)
         f_new = self._lb_substep(state.f, state.force)
-        f_s = ib.interpolate_from_f(f_new, s, u_s)
-        force_new = ib.spread(f_s, s, eps, cfg.xdim, cfg.ydim)
+        # IB coupling in the MXU-friendly band-matmul form (ops/ib_band.py),
+        # mathematically identical to the stencil gather/scatter (ops/ib.py).
+        band = cfg.force_band
+        f_s = ib_band.interpolate(f_new, s, u_s, band)
+        force_new = ib_band.spread(f_s, s, eps, cfg.xdim, band)
         q_new = state.q + ib.flux_increment(f_new, force_new, cfg.flux_x)
         return FlowState(
             f=f_new, force=force_new, lasts=lasts_new,
@@ -97,7 +101,8 @@ class MucociliarySim:
     def fields(self, state: FlowState):
         """(rho, u_corrected) for output — the values the reference snapshots
         (main.cu:944-971): macro rho and the spread-corrected velocity."""
-        rho, u = ref.corrected_velocity(state.f, state.force)
+        force = ib_band.pad_band(state.force, self.cfg.ydim)
+        rho, u = ref.corrected_velocity(state.f, force)
         return rho, u
 
     def boundary_fields(self, state: FlowState):

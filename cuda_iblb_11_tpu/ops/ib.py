@@ -131,12 +131,17 @@ def flux_increment(f_new, force_new, flux_x, ydim_divisor=192.0):
     """Per-step flux sample: sum_y u_x(x=flux_x, y) / 192 with the
     half-force-corrected velocity (ImmersedBoundary.cu:249-264).
 
-    The reference hardcodes the 192 divisor (:261) — kept as a parameter with
-    the same default.
+    The reference hardcodes the 192 divisor (:261) — kept as a parameter
+    with the same default.  `force_new` may be the band-sized force field
+    ([2, BAND, X], zero above the band).
     """
     cx = jnp.asarray(C[:, 0], f_new.dtype)
     col_f = f_new[:, :, flux_x]          # [9, Y]
     rho = jnp.sum(col_f, axis=0)
     mom_x = jnp.einsum("iy,i->y", col_f, cx)
-    ux = (mom_x + 0.5 * force_new[0, :, flux_x]) / rho
+    fcol = force_new[0, :, flux_x]
+    ydim = f_new.shape[1]
+    if fcol.shape[0] < ydim:
+        fcol = jnp.pad(fcol, (0, ydim - fcol.shape[0]))
+    ux = (mom_x + 0.5 * fcol) / rho
     return jnp.sum(ux) / ydim_divisor

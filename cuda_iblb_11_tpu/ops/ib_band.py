@@ -1,0 +1,92 @@
+"""MXU-friendly IB coupling: gather/scatter recast as band matmuls.
+
+The reference brute-forces spreading as an O(size x Ns) all-pairs loop with
+shared-memory tiling (ImmersedBoundary.cu:150-231) and interpolation as one
+thread per point (:94-133).  On TPU, scatters and gathers are slow while
+matrix units are nearly free, and the 2-D regularized delta is SEPARABLE:
+delta2(x - xs, y - ys) = delta(x - xs) * delta(y - ys).  All Lagrangian
+points also live in a fixed y-band (cilium base y=1, tip <= ~97+1.5 rows),
+so with dense per-axis delta factor matrices
+
+    DY[k, y] = delta(y - ys_k)         [Ns, BAND]
+    DX[k, x] = delta(min |x - xs_k| periodic in x)   [Ns, X]
+
+the coupling becomes pure matmuls over the band:
+
+  interpolate:  T_q[k, x] = sum_y DY[k, y] q[y, x]   (q in {rho, mom_x, mom_y})
+                I_q[k]    = sum_x DX[k, x] T_q[k, x]
+                F_s[k]    = 2 (u_s_k * I_rho - I_mom)     (== 2 sum delta rho (u_s - u))
+  spread:       force[c, y, x] = sum_k (F_s[k,c] eps_k DY[k,y]) DX[k,x]
+                -> one [2*BAND, Ns] @ [Ns, X] matmul.
+
+Both are mathematically identical to ops/ib.py's stencil forms (the delta's
+1.5 support means every cell outside the 3x3 stencil has exactly zero
+weight); tests/test_ib_band.py checks equality to f64 round-off.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cuda_iblb_11_tpu.core.lattice import C
+from cuda_iblb_11_tpu.ops.ib import delta_1d
+
+DEFAULT_BAND = 128  # >= max cilium tip height (~97.5) + delta support
+
+
+def _delta_factors(s, xdim, band, dtype):
+    """(DY [Ns, band], DX [Ns, X]) dense separable delta factors."""
+    xs = s[:, 0][:, None]
+    ys = s[:, 1][:, None]
+    xg = jnp.arange(xdim, dtype=dtype)[None, :]
+    yg = jnp.arange(band, dtype=dtype)[None, :]
+    dx = xg - xs
+    # periodic minimal distance in x
+    dx = jnp.abs(jnp.mod(dx + xdim / 2.0, float(xdim)) - xdim / 2.0)
+    dy = jnp.abs(yg - ys)
+    return delta_1d(dy), delta_1d(dx)
+
+
+def band_moments(f, band):
+    """(rho, mom) of the first `band` rows only."""
+    fb = f[:, :band, :]
+    rho = jnp.sum(fb, axis=0)
+    c = jnp.asarray(C, f.dtype)
+    mom = jnp.einsum("iyx,ic->cyx", fb, c)
+    return rho, mom
+
+
+def interpolate(f, s, u_s, band=DEFAULT_BAND):
+    """Direct-forcing IB force, F_s [Ns, 2] — band-matmul formulation of
+    ImmersedBoundary.cu:94-133 (2 delta rho (u_s - u) summed over support)."""
+    rho, mom = band_moments(f, band)
+    dy, dx = _delta_factors(s, f.shape[2], band, f.dtype)
+    # T[q, k, x] = sum_y DY[k,y] q[y,x]; stack rho + 2 momentum components.
+    q = jnp.concatenate([rho[None], mom], axis=0)        # [3, band, X]
+    t = jnp.einsum("ky,qyx->qkx", dy, q,
+                   preferred_element_type=f.dtype)        # [3, Ns, X]
+    i_q = jnp.sum(dx[None] * t, axis=-1)                  # [3, Ns]
+    i_rho = i_q[0]
+    i_mom = i_q[1:]                                       # [2, Ns]
+    return (2.0 * (u_s.T * i_rho[None] - i_mom)).T        # [Ns, 2]
+
+
+def spread(f_s, s, eps, xdim, band=DEFAULT_BAND):
+    """Eulerian band force field [2, band, X] — one matmul
+    (ImmersedBoundary.cu:178-231 recast; full-field rows above the band are
+    identically zero)."""
+    dy, dx = _delta_factors(s, xdim, band, f_s.dtype)
+    lhs = (f_s * eps[:, None].astype(f_s.dtype))          # [Ns, 2]
+    a = lhs.T[:, None, :] * dy.T[None]                    # [2, band, Ns]
+    return jnp.einsum("cyk,kx->cyx", a, dx,
+                      preferred_element_type=f_s.dtype)   # [2, band, X]
+
+
+def pad_band(force_band, ydim):
+    """Embed a band force field into the full [2, Y, X] grid."""
+    band = force_band.shape[1]
+    if band >= ydim:
+        return force_band[:, :ydim, :]
+    pad = jnp.zeros(
+        (2, ydim - band, force_band.shape[2]), force_band.dtype)
+    return jnp.concatenate([force_band, pad], axis=1)

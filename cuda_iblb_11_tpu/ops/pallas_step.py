@@ -50,16 +50,24 @@ CY = [int(c) for c in C[:, 1]]
 WI = [float(w) for w in W]
 
 
-def _pick_tile(ydim: int) -> int:
-    for ty in (32, 16, 8):
-        if ydim % ty == 0:
+def _pick_tile(ydim: int, xdim: int, itemsize: int = 4,
+               pipeline: bool = True, budget: int = 14 << 20) -> int:
+    """Largest row-tile whose VMEM footprint fits: 4 input slots of
+    (9+2) planes + double-buffered 9-plane output + ~14 working planes."""
+    for ty in (64, 32, 16, 8):
+        if ydim % ty:
+            continue
+        slots = (4 * 11 if pipeline else 11) * ty
+        out = 2 * 9 * ty
+        work = 14 * (ty + 2)
+        if (slots + out + work) * xdim * itemsize <= budget:
             return ty
-    return ydim  # single tile (must still be a multiple of 8)
+    return 8
 
 
 def _collide_stream_kernel(
     f_hbm, force_hbm, out_ref, fsc, fup, fdn, foc, fo_up, fo_dn, sem,
-    *, ydim, xdim, ty, tau, tau2, forcing, walls,
+    *, ydim, xdim, ty, band, tau, tau2, forcing, walls,
 ):
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
@@ -73,17 +81,39 @@ def _collide_stream_kernel(
         pltpu.make_async_copy(f_hbm.at[:, pl.ds(base, ty), :], fsc, sem.at[0]),
         pltpu.make_async_copy(f_hbm.at[:, pl.ds(up, 8), :], fup, sem.at[1]),
         pltpu.make_async_copy(f_hbm.at[:, pl.ds(dn, 8), :], fdn, sem.at[2]),
-        pltpu.make_async_copy(force_hbm.at[:, pl.ds(base, ty), :], foc,
-                              sem.at[3]),
-        pltpu.make_async_copy(force_hbm.at[:, pl.ds(up, 8), :], fo_up,
-                              sem.at[4]),
-        pltpu.make_async_copy(force_hbm.at[:, pl.ds(dn, 8), :], fo_dn,
-                              sem.at[5]),
+    ]
+    # The IB force field is band-sized (identically zero above `band` rows):
+    # copy only in-band slices, zero-fill above.
+    base_f = pl.multiple_of(jnp.minimum(base, band - ty), 8)
+    up_f = pl.multiple_of(jnp.minimum(up, band - 8), 8)
+    dn_f = pl.multiple_of(jnp.minimum(dn, band - 8), 8)
+    force_copies = [
+        (base < band,
+         pltpu.make_async_copy(force_hbm.at[:, pl.ds(base_f, ty), :], foc,
+                               sem.at[3]), foc),
+        (up < band,
+         pltpu.make_async_copy(force_hbm.at[:, pl.ds(up_f, 8), :], fo_up,
+                               sem.at[4]), fo_up),
+        (dn < band,
+         pltpu.make_async_copy(force_hbm.at[:, pl.ds(dn_f, 8), :], fo_dn,
+                               sem.at[5]), fo_dn),
     ]
     for cp in copies:
         cp.start()
+    for cond, cp, buf in force_copies:
+        @pl.when(cond)
+        def _(cp=cp):
+            cp.start()
+
+        @pl.when(jnp.logical_not(cond))
+        def _(buf=buf):
+            buf[...] = jnp.zeros_like(buf[...])
     for cp in copies:
         cp.wait()
+    for cond, cp, _buf in force_copies:
+        @pl.when(cond)
+        def _(cp=cp):
+            cp.wait()
 
     def fplane(d):
         """(ty+2, X) working plane of population d: [halo, tile, halo]."""
@@ -212,7 +242,7 @@ def _collide_stream_kernel(
 
 def _pipelined_kernel(
     f_hbm, force_hbm, out_ref, fsl, fosl, sem,
-    *, ydim, xdim, ty, tau, tau2, forcing, walls,
+    *, ydim, xdim, ty, band_tiles, tau, tau2, forcing, walls,
 ):
     """Lag-1 software-pipelined variant: grid has n_tiles+1 steps; step i
     prefetches tile i+1 and computes output tile j = i-1.  Tile j's one-row
@@ -235,10 +265,20 @@ def _pipelined_kernel(
         pltpu.make_async_copy(
             f_hbm.at[:, pl.ds(base, ty), :], fsl.at[slot], sem.at[slot, 0]
         ).start()
-        pltpu.make_async_copy(
-            force_hbm.at[:, pl.ds(base, ty), :], fosl.at[slot],
-            sem.at[slot, 1],
-        ).start()
+        # The IB force field is band-sized (zero above band_tiles*ty): DMA
+        # it only inside the band; zero-fill the slot above so downstream
+        # reads (including the band-boundary tile's lower halo) see true
+        # zeros with no masking.
+        @pl.when(tile < band_tiles)
+        def _():
+            pltpu.make_async_copy(
+                force_hbm.at[:, pl.ds(base, ty), :], fosl.at[slot],
+                sem.at[slot, 1],
+            ).start()
+
+        @pl.when(tile >= band_tiles)
+        def _():
+            fosl[slot] = jnp.zeros_like(fosl[slot])
 
     def wait_dma(tile):
         slot = tile % 4
@@ -246,10 +286,13 @@ def _pipelined_kernel(
         pltpu.make_async_copy(
             f_hbm.at[:, pl.ds(base, ty), :], fsl.at[slot], sem.at[slot, 0]
         ).wait()
-        pltpu.make_async_copy(
-            force_hbm.at[:, pl.ds(base, ty), :], fosl.at[slot],
-            sem.at[slot, 1],
-        ).wait()
+
+        @pl.when(tile < band_tiles)
+        def _():
+            pltpu.make_async_copy(
+                force_hbm.at[:, pl.ds(base, ty), :], fosl.at[slot],
+                sem.at[slot, 1],
+            ).wait()
 
     @pl.when(i == 0)
     def _kickoff():
@@ -395,11 +438,14 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
     ydim, xdim = cfg.ydim, cfg.xdim
     if ydim % 8:
         raise ValueError("pallas backend requires ydim % 8 == 0")
-    ty = tile_y or _pick_tile(ydim)
+    dtype = jnp.dtype(dtype)
+    ty = tile_y or _pick_tile(ydim, xdim, dtype.itemsize, pipeline)
     if ydim % ty:
         raise ValueError(f"ydim {ydim} not divisible by tile {ty}")
     n_tiles = ydim // ty
-    dtype = jnp.dtype(dtype)
+    band = cfg.force_band
+    if band % ty:
+        raise ValueError(f"force band {band} not divisible by tile {ty}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -415,7 +461,8 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
     out_shape = jax.ShapeDtypeStruct((9, ydim, xdim), dtype)
 
     if pipeline:
-        kernel = functools.partial(_pipelined_kernel, **common)
+        kernel = functools.partial(
+            _pipelined_kernel, band_tiles=band // ty, **common)
         bytes_total = (11 + 9) * ydim * xdim * dtype.itemsize
         call = pl.pallas_call(
             kernel,
@@ -438,7 +485,8 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
             interpret=interpret,
         )
     else:
-        kernel = functools.partial(_collide_stream_kernel, **common)
+        kernel = functools.partial(_collide_stream_kernel, band=band,
+                                   **common)
         bytes_per_tile = (11 * (ty + 16) + 9 * ty) * xdim * dtype.itemsize
         call = pl.pallas_call(
             kernel,

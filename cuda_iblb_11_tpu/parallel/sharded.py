@@ -157,9 +157,13 @@ class ShardedMucociliarySim:
 
     def init_state(self) -> FlowState:
         st = initial_state(self.cfg, self.dtype)
+        # The sharded path keeps the force field full-size [2, Y, X] (the
+        # single-chip path stores only the nonzero band) so it shards
+        # identically to f for the halo exchange.
+        force = jnp.zeros((2, self.cfg.ydim, self.cfg.xdim), self.dtype)
         return FlowState(
             f=jax.device_put(st.f, self.grid_sharding()),
-            force=jax.device_put(st.force, self.grid_sharding()),
+            force=jax.device_put(force, self.grid_sharding()),
             lasts=jax.device_put(st.lasts, self.replicated()),
             q=jax.device_put(st.q, self.replicated()),
             it=jax.device_put(st.it, self.replicated()),

@@ -55,12 +55,20 @@ def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "jnp",
         # (it % INTERVAL == 0 inside the loop, main.cu:938).
         if it % interval == 0:
             if cfg.bigdata:
+                from cuda_iblb_11_tpu.io import native
+
+                fluid_writer = (native.write_fluid_snapshot
+                                if native.available()
+                                else write_fluid_snapshot)
+                cilia_writer = (native.write_cilia_snapshot
+                                if native.available()
+                                else write_cilia_snapshot)
                 rho, u = sim.fields(state)
-                write_fluid_snapshot(
+                fluid_writer(
                     os.path.join(paths.raw_dir, f"{it}-fluid.dat"),
                     cfg, rho, u)
                 s, u_s, eps = sim.boundary_fields(state)
-                write_cilia_snapshot(
+                cilia_writer(
                     os.path.join(paths.cilia_dir, f"{it}-cilia.dat"),
                     cfg, s, u_s, eps)
             flux.append(it, float(state.q))

@@ -30,8 +30,12 @@ def test_sharded_matches_unsharded(n_y, n_x):
 
     np.testing.assert_allclose(
         np.asarray(sst.f), np.asarray(ust.f), rtol=1e-12, atol=1e-15)
+    # sharded force is full-size; single-chip stores the nonzero band only
+    band = CFG.force_band
+    sforce = np.asarray(sst.force)
     np.testing.assert_allclose(
-        np.asarray(sst.force), np.asarray(ust.force), rtol=1e-9, atol=1e-18)
+        sforce[:, :band], np.asarray(ust.force), rtol=1e-9, atol=1e-18)
+    assert np.all(sforce[:, band:] == 0)
     np.testing.assert_allclose(float(sst.q), float(ust.q), rtol=1e-10)
     assert int(sst.it) == int(ust.it) == 8
 
