@@ -76,27 +76,64 @@ class MucociliarySim:
     def init_state(self) -> FlowState:
         return initial_state(self.cfg, self.dtype)
 
-    def step(self, state: FlowState) -> FlowState:
+    def _fluid_ib_step(self, f, force, q, s, u_s, eps):
+        """Fluid + IB + flux for one step, given this step's boundary data."""
         cfg = self.cfg
-        s, u_s, eps, lasts_new = self.cilia.boundary_state(state.it, state.lasts)
-        f_new = self._lb_substep(state.f, state.force)
+        f_new = self._lb_substep(f, force)
         # IB coupling in the MXU-friendly band-matmul form (ops/ib_band.py),
         # mathematically identical to the stencil gather/scatter (ops/ib.py).
         band = cfg.force_band
         f_s = ib_band.interpolate(f_new, s, u_s, band)
         force_new = ib_band.spread(f_s, s, eps, cfg.xdim, band)
-        q_new = state.q + ib.flux_increment(f_new, force_new, cfg.flux_x)
+        q_new = q + ib.flux_increment(f_new, force_new, cfg.flux_x)
+        return f_new, force_new, q_new
+
+    def step(self, state: FlowState) -> FlowState:
+        s, u_s, eps, lasts_new = self.cilia.boundary_state(state.it, state.lasts)
+        f_new, force_new, q_new = self._fluid_ib_step(
+            state.f, state.force, state.q, s, u_s, eps)
         return FlowState(
             f=f_new, force=force_new, lasts=lasts_new,
             q=q_new, it=state.it + 1,
         )
 
+    # Keep xs arrays for a scanned chunk below ~32 MB.
+    _MAX_SCAN = 512
+
     @partial(jax.jit, static_argnums=(0, 2), donate_argnums=(1,))
+    def _run_scan(self, state: FlowState, n_steps: int) -> FlowState:
+        """n_steps iterations in one compiled region.
+
+        The cilia kinematics (many tiny ops) are batched over all steps of
+        the chunk OUTSIDE the scan — vmapped positions + backward-difference
+        velocities + placement/epsilon — so the scan body is only the fused
+        LB kernel, the IB band matmuls and the flux sample."""
+        cfg = self.cfg
+        its = state.it + jnp.arange(n_steps, dtype=jnp.int32)
+        pos = jax.vmap(self.cilia.positions)(its)          # [n, c, nodes, 2]
+        prev = jnp.concatenate([state.lasts[None], pos[:-1]], axis=0)
+        vel = jnp.where((its > 0)[:, None, None, None], pos - prev,
+                        jnp.zeros_like(pos))
+        s, u_s, eps = jax.vmap(self.cilia.place_and_mask)(pos, vel)
+
+        def body(carry, xs):
+            f, force, q = carry
+            s_k, u_k, e_k = xs
+            f, force, q = self._fluid_ib_step(f, force, q, s_k, u_k, e_k)
+            return (f, force, q), None
+
+        (f, force, q), _ = jax.lax.scan(
+            body, (state.f, state.force, state.q), (s, u_s, eps))
+        return FlowState(f=f, force=force, lasts=pos[-1], q=q,
+                         it=state.it + n_steps)
+
     def run_chunk(self, state: FlowState, n_steps: int) -> FlowState:
-        """n_steps iterations inside one compiled loop."""
-        return jax.lax.fori_loop(
-            0, n_steps, lambda _, st: self.step(st), state
-        )
+        """n_steps iterations inside compiled scan(s)."""
+        while n_steps > 0:
+            k = min(n_steps, self._MAX_SCAN)
+            state = self._run_scan(state, k)
+            n_steps -= k
+        return state
 
     def fields(self, state: FlowState):
         """(rho, u_corrected) for output — the values the reference snapshots

@@ -51,16 +51,23 @@ WI = [float(w) for w in W]
 
 
 def _pick_tile(ydim: int, xdim: int, itemsize: int = 4,
-               pipeline: bool = True, budget: int = 14 << 20) -> int:
-    """Largest row-tile whose VMEM footprint fits: 4 input slots of
-    (9+2) planes + double-buffered 9-plane output + ~14 working planes."""
+               pipeline: bool = True, budget: int | None = None) -> int:
+    """Largest row-tile whose VMEM footprint fits.
+
+    Pipelined kernel: 2 input slots of (9+2) planes + 3-slot f1 ring +
+    double-buffered 9-plane output + ~12 working planes, against the raised
+    vmem limit.  Halo-band kernel: one (9+2)(ty+16) input set + output +
+    ~14 working planes against the default 16 MB."""
+    if budget is None:
+        budget = (64 << 20) if pipeline else (14 << 20)
     for ty in (64, 32, 16, 8):
         if ydim % ty:
             continue
-        slots = (4 * 11 if pipeline else 11) * ty
-        out = 2 * 9 * ty
-        work = 14 * (ty + 2)
-        if (slots + out + work) * xdim * itemsize <= budget:
+        if pipeline:
+            planes = (2 * 11 + 3 * 9 + 2 * 9 + 12) * ty
+        else:
+            planes = 11 * (ty + 16) + 2 * 9 * ty + 14 * (ty + 2)
+        if planes * xdim * itemsize <= budget:
             return ty
     return 8
 
@@ -241,34 +248,43 @@ def _collide_stream_kernel(
 
 
 def _pipelined_kernel(
-    f_hbm, force_hbm, out_ref, fsl, fosl, sem,
+    f_hbm, force_hbm, out_ref, fsl, fosl, f1sl, sem,
     *, ydim, xdim, ty, band_tiles, tau, tau2, forcing, walls,
 ):
-    """Lag-1 software-pipelined variant: grid has n_tiles+1 steps; step i
-    prefetches tile i+1 and computes output tile j = i-1.  Tile j's one-row
-    stencil halos come from the NEIGHBOR TILES' resident buffers (3 rotating
-    slots), so every HBM byte is read exactly once (80 B/cell total traffic
-    in f32) and the tile-(i+1) DMA overlaps tile-(i-1) compute.
+    """Lag-1 software-pipelined variant with an f1 ring.
 
-    The TRT update is evaluated in pair (even/odd) form:
+    Collision is purely cell-local, so at grid step i (grid = n_tiles + 1
+    steps) the kernel:
+      1. prefetches tile i+1 (f; force only inside the IB band, zero-fill
+         above) — overlapping this step's compute;
+      2. computes the post-collision distributions f1 of tile i on its
+         ALIGNED (ty, X) block (pair/even-odd form of the TRT + Guo update,
+         see below) and stores them into a 3-slot VMEM ring;
+      3. assembles the STREAMED output of tile j = i-1 purely by data
+         movement from the ring: pull rows from f1(j-1)'s last row /
+         f1(j) / f1(j+1)'s first row, lane-rolled by cx for the periodic
+         x "thru" stream, with the wall fixups on the outer tiles.
+
+    Every HBM byte is therefore read exactly once (~72.5 B/cell in f32 with
+    the band-limited force), no halo rows are recomputed, and all vector
+    arithmetic runs on 8-sublane-aligned tiles.
+
+    Pair-form TRT update (bit-equivalent to the per-direction form in exact
+    arithmetic):
         f0+ = rho w (1 + cu^2/(2 cs^4) - u^2/(2 cs^2)),  f0- = rho w cu/cs^2
         s+  = w (cu (c.g)/cs^4 - (u.g)/cs^2),            s-  = w (c.g)/cs^2
-    which halves the equilibrium/forcing arithmetic relative to the
-    per-direction form while staying bit-equivalent in exact arithmetic.
     """
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0) - 1
 
     def start_dma(tile):
         base = pl.multiple_of(tile * ty, 8)
-        slot = tile % 4
+        slot = tile % 2
         pltpu.make_async_copy(
             f_hbm.at[:, pl.ds(base, ty), :], fsl.at[slot], sem.at[slot, 0]
         ).start()
-        # The IB force field is band-sized (zero above band_tiles*ty): DMA
-        # it only inside the band; zero-fill the slot above so downstream
-        # reads (including the band-boundary tile's lower halo) see true
-        # zeros with no masking.
+        # Force is band-sized (zero above band_tiles*ty): DMA inside the
+        # band, zero-fill above so reads see true zeros with no masking.
         @pl.when(tile < band_tiles)
         def _():
             pltpu.make_async_copy(
@@ -281,7 +297,7 @@ def _pipelined_kernel(
             fosl[slot] = jnp.zeros_like(fosl[slot])
 
     def wait_dma(tile):
-        slot = tile % 4
+        slot = tile % 2
         base = pl.multiple_of(tile * ty, 8)
         pltpu.make_async_copy(
             f_hbm.at[:, pl.ds(base, ty), :], fsl.at[slot], sem.at[slot, 0]
@@ -302,47 +318,21 @@ def _pipelined_kernel(
     def _prefetch():
         start_dma(i + 1)
 
-    # Each tile's DMA is waited exactly once, at the step with its index —
-    # the first step that reads any of its rows (as the lower halo of the
-    # previous output tile).  Earlier tiles were waited at earlier steps.
+    # --- collide tile i into the f1 ring ---------------------------------
     @pl.when(i <= n_tiles - 1)
-    def _wait_cur():
+    def _collide():
         wait_dma(i)
-
-    @pl.when(i >= 1)
-    def _compute():
-        j = i - 1
-        sp = (j + 3) % 4  # slot of tile j-1 (== (j-1) mod 4)
-        sc = j % 4
-        sn = (j + 1) % 4
-
-        def fplane(d):
-            return jnp.concatenate(
-                [fsl[sp, d, ty - 1:ty, :], fsl[sc, d], fsl[sn, d, 0:1, :]],
-                axis=0)
-
-        def foplane(c):
-            return jnp.concatenate(
-                [fosl[sp, c, ty - 1:ty, :], fosl[sc, c],
-                 fosl[sn, c, 0:1, :]], axis=0)
-
-        rho = fplane(0)
-        mom_x = None
-        mom_y = None
-        for d in range(1, 9):
-            p = fplane(d)
-            rho = rho + p
-            if CX[d] == 1:
-                mom_x = p if mom_x is None else mom_x + p
-            elif CX[d] == -1:
-                mom_x = mom_x - p
-            if CY[d] == 1:
-                mom_y = p if mom_y is None else mom_y + p
-            elif CY[d] == -1:
-                mom_y = mom_y - p
-        gx = foplane(0)
-        gy = foplane(1)
+        sc = i % 2
+        rc = i % 3
+        f = [fsl[sc, d] for d in range(9)]
+        rho = f[0] + f[1] + f[2] + f[3] + f[4] + f[5] + f[6] + f[7] + f[8]
+        mom_x = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
+        mom_y = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
+        gx = fosl[sc, 0]
+        gy = fosl[sc, 1]
         inv_rho = 1.0 / rho
+        # Previous step's spread-corrected velocity
+        # (ImmersedBoundary.cu:249-255), recomputed from (f, force).
         ux = (mom_x + 0.5 * gx) * inv_rho
         uy = (mom_y + 0.5 * gy) * inv_rho
         u2h = (0.5 / CS2) * (ux * ux + uy * uy)
@@ -354,23 +344,11 @@ def _pipelined_kernel(
         omega_p = 1.0 / tau
         omega_m = 1.0 / tau2
 
-        def stream_write(d, f1_d):
-            cx, cy = CX[d], CY[d]
-            rows = f1_d[1 - cy:1 - cy + ty, :]
-            if cx != 0:
-                rows = jnp.roll(rows, cx, axis=-1)
-            out_ref[d] = rows
-
-        # Rest population: f0_0 = rho w0 (1 - u2h); no forcing (:86).
-        p0 = fplane(0)
-        w0 = WI[0]
-        stream_write(0, p0 - omega_p * (p0 - rho * (w0 * (1.0 - u2h))))
-
-        wall_rows = [None] * 9
+        # Rest population: BGK with omega+, no forcing
+        # (LatticeBoltzmann.cu:86).
+        f1sl[rc, 0] = f[0] - omega_p * (f[0] - rho * (WI[0] * (1.0 - u2h)))
         for a, b in ((1, 3), (2, 4), (5, 7), (6, 8)):
             cx, cy, w = CX[a], CY[a], WI[a]
-            pa = fplane(a)
-            pb = fplane(b)
             cu = ux if cx == 1 else -ux if cx == -1 else 0.0
             if cy == 1:
                 cu = cu + uy
@@ -381,42 +359,62 @@ def _pipelined_kernel(
                 cg = cg + gy
             elif cy == -1:
                 cg = cg - gy
-            # Pair-form equilibrium and Guo source (see docstring).
-            f0_p = rho * (w * (1.0 + cu * cu * (0.5 / CS4)) ) - (w * rho) * u2h
+            f0_p = rho * (w * (1.0 + cu * cu * (0.5 / CS4))) - (w * rho) * u2h
             f0_m = (w / CS2) * (rho * cu)
             s_even = w * (cu * cg * (1.0 / CS4) - ug)
             s_odd = (w / CS2) * cg
-            f_p = 0.5 * (pa + pb)
-            f_m = 0.5 * (pa - pb)
+            f_p = 0.5 * (f[a] + f[b])
+            f_m = 0.5 * (f[a] - f[b])
             even = omega_p * (f_p - f0_p)
             odd = omega_m * (f_m - f0_m)
             fa = lam_p * s_even + lam_odd * s_odd
             fb = lam_p * s_even - lam_odd * s_odd
-            f1a = pa - even - odd + fa
-            f1b = pb - even + odd + fb
-            stream_write(a, f1a)
-            stream_write(b, f1b)
-            wall_rows[a] = (f1a[1:2, :], f1a[ty:ty + 1, :])
-            wall_rows[b] = (f1b[1:2, :], f1b[ty:ty + 1, :])
+            f1sl[rc, a] = f[a] - even - odd + fa
+            f1sl[rc, b] = f[b] - even + odd + fb
 
+    # --- assemble streamed output of tile j = i-1 from the ring ----------
+    @pl.when(i >= 1)
+    def _stream():
+        j = i - 1
+        rp = (j + 2) % 3  # slot of tile j-1
+        rc = j % 3
+        rn = (j + 1) % 3
+
+        for d in range(9):
+            cx, cy = CX[d], CY[d]
+            if cy == 0:
+                rows = f1sl[rc, d]
+            elif cy == 1:  # pull from below: [f1(j-1) last row, f1(j)[:-1]]
+                rows = jnp.concatenate(
+                    [f1sl[rp, d, ty - 1:ty, :], f1sl[rc, d, 0:ty - 1, :]],
+                    axis=0)
+            else:          # pull from above: [f1(j)[1:], f1(j+1) first row]
+                rows = jnp.concatenate(
+                    [f1sl[rc, d, 1:ty, :], f1sl[rn, d, 0:1, :]], axis=0)
+            if cx != 0:
+                rows = jnp.roll(rows, cx, axis=-1)  # periodic "thru" stream
+            out_ref[d] = rows
+
+        # Wall fixups (LatticeBoltzmann.cu:328-353): same-cell permuted
+        # populations of tile j's own f1 rows.
         if walls.bottom == "noslip":
             @pl.when(j == 0)
             def _bottom():
-                out_ref[2, 0:1, :] = wall_rows[4][0]
-                out_ref[5, 0:1, :] = wall_rows[7][0]
-                out_ref[6, 0:1, :] = wall_rows[8][0]
-        if walls.top == "slip":
+                out_ref[2, 0:1, :] = f1sl[rc, 4, 0:1, :]
+                out_ref[5, 0:1, :] = f1sl[rc, 7, 0:1, :]
+                out_ref[6, 0:1, :] = f1sl[rc, 8, 0:1, :]
+        if walls.top == "slip":  # specular: 4<-2, 8<-5, 7<-6
             @pl.when(j == n_tiles - 1)
             def _top_slip():
-                out_ref[4, ty - 1:ty, :] = wall_rows[2][1]
-                out_ref[8, ty - 1:ty, :] = wall_rows[5][1]
-                out_ref[7, ty - 1:ty, :] = wall_rows[6][1]
-        elif walls.top == "noslip":
+                out_ref[4, ty - 1:ty, :] = f1sl[rc, 2, ty - 1:ty, :]
+                out_ref[8, ty - 1:ty, :] = f1sl[rc, 5, ty - 1:ty, :]
+                out_ref[7, ty - 1:ty, :] = f1sl[rc, 6, ty - 1:ty, :]
+        elif walls.top == "noslip":  # bounce-back: 4<-2, 7<-5, 8<-6
             @pl.when(j == n_tiles - 1)
             def _top_noslip():
-                out_ref[4, ty - 1:ty, :] = wall_rows[2][1]
-                out_ref[7, ty - 1:ty, :] = wall_rows[5][1]
-                out_ref[8, ty - 1:ty, :] = wall_rows[6][1]
+                out_ref[4, ty - 1:ty, :] = f1sl[rc, 2, ty - 1:ty, :]
+                out_ref[7, ty - 1:ty, :] = f1sl[rc, 5, ty - 1:ty, :]
+                out_ref[8, ty - 1:ty, :] = f1sl[rc, 6, ty - 1:ty, :]
 
 
 def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32,
@@ -473,10 +471,13 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
                 memory_space=pltpu.VMEM),
             out_shape=out_shape,
             scratch_shapes=[
-                pltpu.VMEM((4, 9, ty, xdim), dtype),  # f slots
-                pltpu.VMEM((4, 2, ty, xdim), dtype),  # force slots
-                pltpu.SemaphoreType.DMA((4, 2)),
+                pltpu.VMEM((2, 9, ty, xdim), dtype),  # f slots
+                pltpu.VMEM((2, 2, ty, xdim), dtype),  # force slots
+                pltpu.VMEM((3, 9, ty, xdim), dtype),  # f1 ring
+                pltpu.SemaphoreType.DMA((2, 2)),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 << 20),
             cost_estimate=pl.CostEstimate(
                 flops=int(ydim * xdim * 200),
                 bytes_accessed=int(bytes_total),
