@@ -44,11 +44,11 @@ def main():
         # different count would compile a second executable inside the
         # timed region)
         state = sim.run_chunk(state, steps)
-        jax.block_until_ready(state.f)
+        _ = float(state.q)  # value fetch: the only reliable device sync here
 
         t0 = time.perf_counter()
         state = sim.run_chunk(state, steps)
-        jax.block_until_ready(state.f)
+        _ = float(state.q)
         dt = time.perf_counter() - t0
 
         mlups = cfg.size * steps / dt / 1e6
