@@ -29,7 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "P_num ShARC BigData")
     p.add_argument("--output", default="Data/Test",
                    help="output root directory (default: Data/Test)")
-    p.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "jnp", "pallas"])
     p.add_argument("--forcing", default="trt_split",
                    choices=["trt_split", "reference"],
                    help="Guo forcing scheme; 'reference' replicates the CUDA "

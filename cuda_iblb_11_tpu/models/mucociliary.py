@@ -53,10 +53,22 @@ class MucociliarySim:
         cfg.validate()
         self.cfg = cfg
         self.walls = walls
-        self.backend = backend
         self.forcing = forcing
         self.dtype = jnp.dtype(dtype or cfg.dtype)
         self.cilia = CiliaModel(cfg, dtype=self.dtype, pattern=pattern)
+        if backend == "auto":
+            # fused Pallas kernel where it applies; jnp oracle otherwise
+            pallas_ok = (
+                jax.default_backend() == "tpu"
+                and cfg.xdim % 128 == 0
+                and cfg.ydim % 8 == 0
+                and self.dtype == jnp.float32
+                and walls.left == "periodic"
+                and walls.bottom == "noslip"
+                and walls.top in ("slip", "noslip")
+            )
+            backend = "pallas" if pallas_ok else "jnp"
+        self.backend = backend
         if backend == "pallas":
             from cuda_iblb_11_tpu.ops.pallas_step import make_fused_substep
 

@@ -436,6 +436,15 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
     ydim, xdim = cfg.ydim, cfg.xdim
     if ydim % 8:
         raise ValueError("pallas backend requires ydim % 8 == 0")
+    if interpret is None:
+        _on_tpu = jax.default_backend() == "tpu"
+    else:
+        _on_tpu = not interpret
+    if _on_tpu and xdim % 128:
+        # Mosaic lane rolls need a 128-multiple X; pick e.g. c_num*c_space
+        # in {384, 512, ...} or use the jnp backend.
+        raise ValueError(
+            f"pallas backend requires xdim % 128 == 0 on TPU (got {xdim})")
     dtype = jnp.dtype(dtype)
     ty = tile_y or _pick_tile(ydim, xdim, dtype.itemsize, pipeline)
     if ydim % ty:

@@ -18,7 +18,7 @@ from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
 from cuda_iblb_11_tpu.utils.timing import ThroughputMeter, predict_completion, seconds
 
 
-def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "jnp",
+def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
         forcing: str = "trt_split", resume_from: str | None = None,
         checkpoint_every: int = 0, quiet: bool = False) -> dict:
     """Execute cfg.iterations steps with interval outputs.
