@@ -41,6 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="write checkpoint.npz every N iterations")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the first interval")
     return p
 
 
@@ -58,7 +60,8 @@ def main(argv=None) -> int:
         cfg = cfg.replace(dtype=args.dtype)
     run(cfg, output_root=args.output, backend=args.backend,
         forcing=args.forcing, resume_from=args.resume,
-        checkpoint_every=args.checkpoint_every, quiet=args.quiet)
+        checkpoint_every=args.checkpoint_every, quiet=args.quiet,
+        profile_dir=args.profile_dir)
     return 0
 
 

@@ -20,12 +20,21 @@ from cuda_iblb_11_tpu.utils.timing import ThroughputMeter, predict_completion, s
 
 def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
         forcing: str = "trt_split", resume_from: str | None = None,
-        checkpoint_every: int = 0, quiet: bool = False) -> dict:
+        checkpoint_every: int = 0, quiet: bool = False,
+        profile_dir: str | None = None) -> dict:
     """Execute cfg.iterations steps with interval outputs.
 
+    profile_dir: if set, capture a jax.profiler trace of the first interval
+    (the reference's only tracing was a wall-clock timer, seconds.cpp).
     Returns a summary dict (runtime, MLUPS, final Q)."""
     cfg.validate()
     sim = MucociliarySim(cfg, backend=backend, forcing=forcing)
+    profiling = False
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+        profiling = True
 
     paths = OutputPaths(output_root, cfg)
     paths.makedirs()
@@ -79,6 +88,14 @@ def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
         state.q.block_until_ready()
         meter.stop(n)
         it = int(state.it)
+
+        if profiling and it >= interval:
+            import jax
+
+            jax.profiler.stop_trace()
+            profiling = False
+            if not quiet:
+                print(f"Profiler trace written to {profile_dir}")
 
         if not first_interval_logged and it >= interval:
             pred = predict_completion(

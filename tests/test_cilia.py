@@ -126,3 +126,18 @@ def test_eps_matches_bruteforce_rule():
         # The beat envelope (~96 lu) exceeds the 48-lu spacing, so overlap
         # masking must actually deactivate some points.
         assert eps.min() == 0 and eps.max() == 1
+
+
+def test_mucus_pattern_variant():
+    # The mucus-loaded coefficient set (commented out in the reference,
+    # main.cu:36-54) is exposed as an alternative beat pattern.
+    m_air = CiliaModel(CFG, dtype=jnp.float64, pattern="no_mucus")
+    m_muc = CiliaModel(CFG, dtype=jnp.float64, pattern="mucus")
+    p_air = np.asarray(m_air.positions(jnp.int32(100)))
+    p_muc = np.asarray(m_muc.positions(jnp.int32(100)))
+    assert p_air.shape == p_muc.shape
+    assert np.max(np.abs(p_air - p_muc)) > 1.0  # genuinely different beat
+    # mucus filament is still a sane, bounded shape
+    assert np.all(np.isfinite(p_muc))
+    d = np.linalg.norm(np.diff(p_muc, axis=1), axis=-1)
+    assert d.max() < 3.0

@@ -80,3 +80,22 @@ def test_halo_band_variant_matches_oracle():
     want, _, _ = ref.lb_substep(f, force, cfg.tau, cfg.tau2,
                                 ref.REFERENCE_WALLS, forcing="trt_split")
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-12, atol=1e-15)
+
+
+def test_pipelined_band_smaller_than_grid():
+    # force band < ydim: tiles above the band must see exactly zero force.
+    ydim, xdim = 64, 128
+    cfg = SimConfig(c_num=2, c_space=64, ydim=ydim, length=16,
+                    dtype="float64")  # force_band = 48 < 64
+    assert cfg.force_band == 48
+    f, force_full = _random_state(ydim, xdim, jnp.float64)
+    force_band = force_full[:, :cfg.force_band, :]
+    force_zeropad = jnp.concatenate(
+        [force_band,
+         jnp.zeros((2, ydim - cfg.force_band, xdim), jnp.float64)], axis=1)
+    fused = make_fused_substep(cfg, dtype=jnp.float64, interpret=True,
+                               tile_y=16, pipeline=True)
+    got = np.asarray(fused(f, force_band))
+    want, _, _ = ref.lb_substep(f, force_zeropad, cfg.tau, cfg.tau2,
+                                ref.REFERENCE_WALLS, forcing="trt_split")
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-12, atol=1e-15)
