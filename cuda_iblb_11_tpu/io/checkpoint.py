@@ -31,13 +31,22 @@ def save(path: str, state: FlowState, cfg: SimConfig) -> None:
     )
 
 
+# Fields that determine state compatibility; run-length / output knobs
+# (i_pow, p_num, bigdata, sharc) may differ between save and resume.
+_STATE_FIELDS = ("c_fraction", "c_num", "c_space", "re", "t_num", "t_pow",
+                 "length", "ydim", "dtype")
+
+
 def load(path: str, cfg: SimConfig | None = None) -> tuple[FlowState, SimConfig]:
     with np.load(path, allow_pickle=False) as z:
         saved_cfg = SimConfig(**json.loads(str(z["config"])))
-        if cfg is not None and cfg != saved_cfg:
-            raise ValueError(
-                f"checkpoint config mismatch:\n saved: {saved_cfg}\n"
-                f" asked: {cfg}")
+        if cfg is not None:
+            bad = [f for f in _STATE_FIELDS
+                   if getattr(cfg, f) != getattr(saved_cfg, f)]
+            if bad:
+                raise ValueError(
+                    f"checkpoint incompatible in fields {bad}:\n"
+                    f" saved: {saved_cfg}\n asked: {cfg}")
         state = FlowState(
             f=jnp.asarray(z["f"]),
             force=jnp.asarray(z["force"]),
