@@ -27,7 +27,7 @@ Design notes
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

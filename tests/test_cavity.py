@@ -1,6 +1,8 @@
 """Config 2: lid-driven cavity at Re=100 vs Ghia, Ghia & Shin (1982)
 centreline values (coarse subset; 64^2 grid, moderate tolerance)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -37,3 +39,18 @@ def test_cavity_is_steady():
     ux1, _ = cav.centreline_profiles(f)
     ux2, _ = cav.centreline_profiles(f2)
     assert float(np.max(np.abs(np.asarray(ux1 - ux2)))) < 1e-5
+
+
+@pytest.mark.skipif(not os.environ.get("IBLB_SLOW_TESTS"),
+                    reason="set IBLB_SLOW_TESTS=1 for the Re sweep")
+def test_cavity_re400_centrelines():
+    # Ghia et al. Re=400, u_x on the vertical centreline.
+    ghia_y = np.array([0.0625, 0.1719, 0.2813, 0.4531, 0.5, 0.6172, 0.9609])
+    ghia_ux = np.array([-0.09266, -0.24299, -0.32726, -0.17119, -0.11477,
+                        0.02135, 0.61756])
+    cav = LidDrivenCavity(n=96, re=400.0, u_lid=0.1)
+    f = cav.run(cav.init_f(), 80000)
+    ux, _ = cav.centreline_profiles(f)
+    y = (np.arange(cav.n) + 0.5) / cav.n
+    ux_i = np.interp(ghia_y, y, np.asarray(ux))
+    np.testing.assert_allclose(ux_i, ghia_ux, atol=0.03)
