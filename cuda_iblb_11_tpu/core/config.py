@@ -56,6 +56,18 @@ class SimConfig:
     # New-framework options (no reference counterpart).
     dtype: str = "float32"   # state dtype for the TPU path ("float64" for oracle)
     flux_column_offset: int = 5  # flux measured at x = XDIM - 5 (ImmersedBoundary.cu:259)
+    # "raw": state.f holds the distributions f_i (like the reference).
+    # "deviatoric": state.f holds f_i - w_i (well-balanced storage), spending
+    # the f32 mantissa on the physical deviation instead of the constant
+    # equilibrium part — cuts the f32 velocity-noise floor ~100x.
+    # "auto": deviatoric for float32, raw for float64.
+    storage: str = "auto"
+
+    @property
+    def storage_resolved(self) -> str:
+        if self.storage == "auto":
+            return "deviatoric" if self.dtype == "float32" else "raw"
+        return self.storage
 
     # ---- derived quantities -------------------------------------------------
 

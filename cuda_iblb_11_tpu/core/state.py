@@ -42,9 +42,13 @@ def initial_state(cfg: SimConfig, dtype=None) -> FlowState:
     """
     dtype = jnp.dtype(dtype or cfg.dtype)
     y, x = cfg.ydim, cfg.xdim
-    f = jnp.broadcast_to(
-        (RHO_0 * W).astype(dtype)[:, None, None], (NQ, y, x)
-    ).copy()
+    if cfg.storage_resolved == "deviatoric":
+        # f stores f_i - w_i: the cold-start state is exactly zero.
+        f = jnp.zeros((NQ, y, x), dtype)
+    else:
+        f = jnp.broadcast_to(
+            (RHO_0 * W).astype(dtype)[:, None, None], (NQ, y, x)
+        ).copy()
     force = jnp.zeros((2, cfg.force_band, x), dtype)
     lasts = jnp.zeros((cfg.c_num, cfg.length, 2), dtype)
     q = jnp.zeros((), dtype)

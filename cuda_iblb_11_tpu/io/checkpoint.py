@@ -34,7 +34,7 @@ def save(path: str, state: FlowState, cfg: SimConfig) -> None:
 # Fields that determine state compatibility; run-length / output knobs
 # (i_pow, p_num, bigdata, sharc) may differ between save and resume.
 _STATE_FIELDS = ("c_fraction", "c_num", "c_space", "re", "t_num", "t_pow",
-                 "length", "ydim", "dtype")
+                 "length", "ydim", "dtype", "storage")
 
 
 def load(path: str, cfg: SimConfig | None = None) -> tuple[FlowState, SimConfig]:

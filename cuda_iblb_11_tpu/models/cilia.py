@@ -113,25 +113,48 @@ class CiliaModel:
     def __init__(self, cfg: SimConfig, dtype=jnp.float32, pattern="no_mucus"):
         self.cfg = cfg
         self.dtype = jnp.dtype(dtype)
+        # High-precision dtype for the kinematics: the Fourier sums are
+        # scaled by 111, so f32 summation noise alone is ~1e-4 lattice units
+        # on the node positions.  The arrays are O(c_num*96) — negligible
+        # even with emulated f64 on TPU — and the results are handed to the
+        # f32 fluid as (integer anchor, sub-cell fraction) pairs so no
+        # precision is lost in the cast (see anchored_nodes).  f64 is used
+        # via the scoped jax.enable_x64 context so the f32 fluid kernels
+        # are unaffected by the global x64 flag.
+        self.hp = jnp.dtype(jnp.float64)
+        import jax as _jax
+
         a_mn, b_mn = PATTERNS[pattern]
         arcl = node_arclengths(cfg.length)  # [nodes]
         powers = arcl[:, None] ** np.array([1.0, 2.0, 3.0])[None, :]  # [nodes,3]
-        # a_pre[j, n, coord] = sum_p A[p, coord, n] * arcl_j^(p+1)
-        self.a_pre = jnp.asarray(
-            np.einsum("jp,pcn->jnc", powers, a_mn), self.dtype)
-        self.b_pre = jnp.asarray(
-            np.einsum("jp,pcn->jnc", powers, b_mn), self.dtype)
-        # Cilium base offsets (m - (c_num-1)/2) * c_space  (main.cu:105).
-        m = np.arange(cfg.c_num)
-        self.offsets = jnp.asarray(
-            (m - (cfg.c_num - 1) / 2.0) * cfg.c_space, self.dtype)
-        self.harmonics = jnp.arange(N_HARMONICS, dtype=self.dtype)
+        with _jax.enable_x64(True):
+            # a_pre[j, n, coord] = sum_p A[p, coord, n] * arcl_j^(p+1)
+            self.a_pre = jnp.asarray(
+                np.einsum("jp,pcn->jnc", powers, a_mn), self.hp)
+            self.b_pre = jnp.asarray(
+                np.einsum("jp,pcn->jnc", powers, b_mn), self.hp)
+            # Cilium base offsets (m - (c_num-1)/2)*c_space  (main.cu:105).
+            m = np.arange(cfg.c_num)
+            self.offsets = jnp.asarray(
+                (m - (cfg.c_num - 1) / 2.0) * cfg.c_space, self.hp)
+            # Absolute domain shift c_space*c_num/2 (main.cu:193); the
+            # per-cilium base offset is already inside positions().
+            self.shift_x = jnp.asarray(
+                (cfg.c_space * cfg.c_num) / 2.0, self.hp)
+            self.harmonics = jnp.arange(N_HARMONICS, dtype=self.hp)
         # r_max for the overlap mask (main.cu:185); integer division.
         self.r_max = 2 * cfg.length // cfg.c_space
 
     def positions(self, it):
         """Node positions in the beat frame (x includes the base offset),
-        shape [c_num, nodes, 2].  `it` may be traced (int32)."""
+        shape [c_num, nodes, 2], in the high-precision dtype.  `it` may be
+        traced (int32)."""
+        import jax as _jax
+
+        with _jax.enable_x64(True):
+            return self._positions_x64(it)
+
+    def _positions_x64(self, it):
         cfg = self.cfg
         m = jnp.arange(cfg.c_num, dtype=jnp.int32)
         total = it.astype(jnp.int32) + m * jnp.int32(cfg.p_step)
@@ -139,14 +162,14 @@ class CiliaModel:
         # total equals T exactly; with the truncated PI literal this differs
         # from phase 0 by ~1e-10.
         phase = jnp.where(total == cfg.T, cfg.T, total % cfg.T)
-        theta = (2.0 * PI_REF / cfg.T) * phase.astype(self.dtype)  # [c_num]
+        theta = (2.0 * PI_REF / cfg.T) * phase.astype(self.hp)  # [c_num]
         ang = self.harmonics[None, :] * theta[:, None]  # [c_num, 7]
         cosn = jnp.cos(ang)
         sinn = jnp.sin(ang)
         # n=0 term is a_0/2 (cos(0)=1 exactly, so fold the 1/2 into the sum
         # by halving the n=0 column); b_0 = 0 in all patterns.
         scale = jnp.concatenate(
-            [jnp.array([0.5], self.dtype), jnp.ones((6,), self.dtype)])
+            [jnp.array([0.5], self.hp), jnp.ones((6,), self.hp)])
         pos = BEAT_SCALE * (
             jnp.einsum("jnc,mn->mjc", self.a_pre, cosn * scale[None])
             + jnp.einsum("jnc,mn->mjc", self.b_pre, sinn * scale[None])
@@ -154,20 +177,59 @@ class CiliaModel:
         pos = pos.at[:, :, 0].add(self.offsets[:, None])
         return pos
 
+    def velocities(self, it):
+        """Backward-difference node velocity pos(it) - pos(it-1), evaluated
+        via the trig identity
+            cos(n th_t) - cos(n th_p) = -2 sin(n (th_t+th_p)/2) sin(n dth/2)
+        instead of subtracting two O(100)-lattice-unit positions — in f32 the
+        naive difference loses ~3 decimal digits of the ~1e-3 velocity to
+        cancellation (the reference, computing in CUDA float, has exactly
+        that noise; main.cu:147-155).  Algebraically identical: the offset
+        and n=0 terms cancel in the difference."""
+        import jax as _jax
+
+        with _jax.enable_x64(True):
+            return self._velocities_x64(it)
+
+    def _velocities_x64(self, it):
+        cfg = self.cfg
+        m = jnp.arange(cfg.c_num, dtype=jnp.int32)
+        tot_t = it.astype(jnp.int32) + m * jnp.int32(cfg.p_step)
+        tot_p = tot_t - 1
+        phase_t = jnp.where(tot_t == cfg.T, cfg.T, tot_t % cfg.T)
+        phase_p = jnp.where(tot_p == cfg.T, cfg.T, tot_p % cfg.T)
+        k = jnp.asarray(2.0 * PI_REF / cfg.T, self.hp)
+        half_sum = 0.5 * k * (phase_t + phase_p).astype(self.hp)
+        half_dif = 0.5 * k * (phase_t - phase_p).astype(self.hp)
+        n = self.harmonics[None, :]
+        # cos diff and sin diff per harmonic, [c_num, 7]
+        dcos = -2.0 * jnp.sin(n * half_sum[:, None]) * jnp.sin(
+            n * half_dif[:, None])
+        dsin = 2.0 * jnp.cos(n * half_sum[:, None]) * jnp.sin(
+            n * half_dif[:, None])
+        vel = BEAT_SCALE * (
+            jnp.einsum("jnc,mn->mjc", self.a_pre, dcos)
+            + jnp.einsum("jnc,mn->mjc", self.b_pre, dsin)
+        )
+        return vel
+
     def kinematics(self, it, lasts):
         """positions + backward-difference velocity.  Returns (pos, vel, lasts_new);
         vel is zero at it=0 (main.cu:147-151, boundary_check :200-209)."""
         pos = self.positions(it)
-        vel = jnp.where(it > 0, pos - lasts, jnp.zeros_like(pos))
+        vel = jnp.where(it > 0, self.velocities(it), jnp.zeros_like(pos))
         return pos, vel, pos
 
     def place_and_mask(self, pos, vel):
         """boundary_check (main.cu:176-252): domain placement, velocity
         passthrough, epsilon overlap mask.  Returns (s [Ns,2], u_s [Ns,2],
-        eps [Ns]) flattened over (cilium, node)."""
+        eps [Ns]) flattened over (cilium, node), in self.dtype."""
         cfg = self.cfg
+        pos = pos.astype(self.dtype)
+        vel = vel.astype(self.dtype)
         xdim = self.dtype.type(cfg.xdim)
-        x = (cfg.c_space * cfg.c_num) / 2.0 + pos[:, :, 0]
+        x = self.dtype.type(
+            (cfg.c_space * cfg.c_num) / 2.0) + pos[:, :, 0]
         # Single wrap, thresholds exactly as the reference (<0, >XDIM).
         x = jnp.where(x < 0, x + xdim, jnp.where(x > xdim, x - xdim, x))
         y = pos[:, :, 1] + 1.0
@@ -187,6 +249,22 @@ class CiliaModel:
 
         ns = cfg.c_num * cfg.length
         return s.reshape(ns, 2), vel.reshape(ns, 2), eps.reshape(ns)
+
+    def anchored_nodes(self, pos):
+        """(anchor [Ns,2] int32, frac [Ns,2] self.dtype) such that the
+        absolute (pre-wrap) node position is anchor + frac with
+        |frac| <= 0.5: the precision-preserving form consumed by the
+        anchored IB delta factors (ops/ib_band.py).  Computed from the
+        high-precision positions, so casting frac to f32 loses nothing
+        (|frac| <= 0.5 => cast error ~3e-8 lattice units)."""
+        cfg = self.cfg
+        ns = cfg.c_num * cfg.length
+        abs_x = self.shift_x + pos[:, :, 0]
+        abs_y = pos[:, :, 1] + 1.0
+        ab = jnp.stack([abs_x, abs_y], axis=-1).reshape(ns, 2)
+        anchor = jnp.rint(ab)
+        frac = (ab - anchor).astype(self.dtype)
+        return anchor.astype(jnp.int32), frac
 
     def boundary_state(self, it, lasts):
         """Full cilia substep: kinematics -> placement -> mask."""

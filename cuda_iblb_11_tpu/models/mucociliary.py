@@ -69,16 +69,19 @@ class MucociliarySim:
             )
             backend = "pallas" if pallas_ok else "jnp"
         self.backend = backend
+        self.storage = cfg.storage_resolved
         if backend == "pallas":
             from cuda_iblb_11_tpu.ops.pallas_step import make_fused_substep
 
             self._lb_substep = make_fused_substep(
-                cfg, walls, self.dtype, forcing=forcing)
+                cfg, walls, self.dtype, forcing=forcing,
+                storage=self.storage)
         elif backend == "jnp":
             def _substep(f, force_band):
                 force = ib_band.pad_band(force_band, cfg.ydim)
                 f_new, _, _ = ref.lb_substep(
-                    f, force, cfg.tau, cfg.tau2, walls, forcing=forcing)
+                    f, force, cfg.tau, cfg.tau2, walls, forcing=forcing,
+                    storage=self.storage)
                 return f_new
 
             self._lb_substep = _substep
@@ -88,24 +91,35 @@ class MucociliarySim:
     def init_state(self) -> FlowState:
         return initial_state(self.cfg, self.dtype)
 
-    def _fluid_ib_step(self, f, force, q, s, u_s, eps):
-        """Fluid + IB + flux for one step, given this step's boundary data."""
+    def _fluid_ib_step(self, f, force, q, u_s, eps, local):
+        """Fluid + IB + flux for one step, given this step's boundary data.
+
+        Boundary positions arrive in the precision-preserving
+        (integer anchor, small local) split (models/cilia.py:place_precise)
+        so the f32 delta evaluation keeps full precision at any XDIM."""
         cfg = self.cfg
         f_new = self._lb_substep(f, force)
         # IB coupling in the MXU-friendly band-matmul form (ops/ib_band.py),
         # mathematically identical to the stencil gather/scatter (ops/ib.py).
         band = cfg.force_band
-        f_s = ib_band.interpolate(f_new, s, u_s, band)
-        force_new = ib_band.spread(f_s, s, eps, cfg.xdim, band)
-        q_new = q + ib.flux_increment(f_new, force_new, cfg.flux_x)
+        anchored = local  # (anchor [Ns,2] int32, frac [Ns,2])
+        f_s = ib_band.interpolate(f_new, None, u_s, band,
+                                  storage=self.storage, anchored=anchored)
+        force_new = ib_band.spread(f_s, None, eps, cfg.xdim, band,
+                                   anchored=anchored)
+        q_new = q + ib.flux_increment(f_new, force_new, cfg.flux_x,
+                                      storage=self.storage)
         return f_new, force_new, q_new
 
     def step(self, state: FlowState) -> FlowState:
-        s, u_s, eps, lasts_new = self.cilia.boundary_state(state.it, state.lasts)
+        pos, vel, lasts_new = self.cilia.kinematics(state.it, state.lasts)
+        _, u_s, eps = self.cilia.place_and_mask(pos, vel)
+        anchored = self.cilia.anchored_nodes(pos)
         f_new, force_new, q_new = self._fluid_ib_step(
-            state.f, state.force, state.q, s, u_s, eps)
+            state.f, state.force, state.q, u_s, eps, anchored)
         return FlowState(
-            f=f_new, force=force_new, lasts=lasts_new,
+            f=f_new, force=force_new,
+            lasts=lasts_new.astype(self.dtype),
             q=q_new, it=state.it + 1,
         )
 
@@ -126,17 +140,20 @@ class MucociliarySim:
         prev = jnp.concatenate([state.lasts[None], pos[:-1]], axis=0)
         vel = jnp.where((its > 0)[:, None, None, None], pos - prev,
                         jnp.zeros_like(pos))
-        s, u_s, eps = jax.vmap(self.cilia.place_and_mask)(pos, vel)
+        _, u_s, eps = jax.vmap(self.cilia.place_and_mask)(pos, vel)
+        anchor, frac = jax.vmap(self.cilia.anchored_nodes)(pos)
 
         def body(carry, xs):
             f, force, q = carry
-            s_k, u_k, e_k = xs
-            f, force, q = self._fluid_ib_step(f, force, q, s_k, u_k, e_k)
+            u_k, e_k, a_k, fr_k = xs
+            f, force, q = self._fluid_ib_step(
+                f, force, q, u_k, e_k, (a_k, fr_k))
             return (f, force, q), None
 
         (f, force, q), _ = jax.lax.scan(
-            body, (state.f, state.force, state.q), (s, u_s, eps))
-        return FlowState(f=f, force=force, lasts=pos[-1], q=q,
+            body, (state.f, state.force, state.q), (u_s, eps, anchor, frac))
+        return FlowState(f=f, force=force,
+                         lasts=pos[-1].astype(self.dtype), q=q,
                          it=state.it + n_steps)
 
     def run_chunk(self, state: FlowState, n_steps: int) -> FlowState:
@@ -151,7 +168,7 @@ class MucociliarySim:
         """(rho, u_corrected) for output — the values the reference snapshots
         (main.cu:944-971): macro rho and the spread-corrected velocity."""
         force = ib_band.pad_band(state.force, self.cfg.ydim)
-        rho, u = ref.corrected_velocity(state.f, force)
+        rho, u = ref.corrected_velocity(state.f, force, self.storage)
         return rho, u
 
     def boundary_fields(self, state: FlowState):

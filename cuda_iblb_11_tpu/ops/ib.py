@@ -94,7 +94,7 @@ def interpolate(rho, u, s, u_s):
     return jnp.sum(2.0 * w[None] * rho_n[None] * diff, axis=-1).T  # [Ns, 2]
 
 
-def interpolate_from_f(f, s, u_s):
+def interpolate_from_f(f, s, u_s, storage="raw"):
     """Same as :func:`interpolate` but computes the (uncorrected) macro
     moments directly from the distributions at the Ns*9 stencil cells —
     avoids materializing full rho/u fields on the hot path (the reference's
@@ -104,6 +104,8 @@ def interpolate_from_f(f, s, u_s):
     w = jnp.where(valid, w, 0.0)
     f_n = f[:, yc, xw]                       # [9, Ns, 9cells]
     rho_n = jnp.sum(f_n, axis=0)             # [Ns, 9cells]
+    if storage == "deviatoric":
+        rho_n = 1.0 + rho_n
     c = jnp.asarray(C, f.dtype)
     u_n = jnp.einsum("inm,ic->cnm", f_n, c) / rho_n[None]
     diff = u_s.T[:, :, None] - u_n
@@ -127,7 +129,8 @@ def spread(F_s, s, eps, xdim, ydim):
     return force.reshape(2, ydim, xdim)
 
 
-def flux_increment(f_new, force_new, flux_x, ydim_divisor=192.0):
+def flux_increment(f_new, force_new, flux_x, ydim_divisor=192.0,
+                   storage="raw"):
     """Per-step flux sample: sum_y u_x(x=flux_x, y) / 192 with the
     half-force-corrected velocity (ImmersedBoundary.cu:249-264).
 
@@ -138,6 +141,8 @@ def flux_increment(f_new, force_new, flux_x, ydim_divisor=192.0):
     cx = jnp.asarray(C[:, 0], f_new.dtype)
     col_f = f_new[:, :, flux_x]          # [9, Y]
     rho = jnp.sum(col_f, axis=0)
+    if storage == "deviatoric":
+        rho = 1.0 + rho
     mom_x = jnp.einsum("iy,i->y", col_f, cx)
     fcol = force_new[0, :, flux_x]
     ydim = f_new.shape[1]

@@ -47,20 +47,56 @@ def _delta_factors(s, xdim, band, dtype):
     return delta_1d(dy), delta_1d(dx)
 
 
-def band_moments(f, band):
+def _delta_factors_anchored(anchor, frac, xdim, band, dtype):
+    """Precision-preserving delta factors from the (integer anchor,
+    sub-cell fraction) position split (models/cilia.py:anchored_nodes).
+
+    The grid-to-anchor distances are exact int32 arithmetic (with an
+    integer periodic fold in x); only the |frac| <= 0.5 part touches the
+    storage dtype, so the delta argument keeps full precision instead of
+    the XDIM * 2^-24 rounding of absolute f32 coordinates."""
+    half = jnp.int32(xdim // 2)
+    xx = jnp.int32(xdim)
+    xg = jnp.arange(xdim, dtype=jnp.int32)[None, :]
+    v = xg - anchor[:, 0][:, None].astype(jnp.int32)
+    # exact integer periodic fold to [-X/2, X/2); |v| < 2X always (the
+    # anchor is within one wrap of the domain), so two conditional
+    # adjustments suffice.  (integer jnp.mod hits a lowering recursion bug
+    # on some TPU stacks.)
+    for _ in range(2):
+        v = jnp.where(v >= half, v - xx, v)
+        v = jnp.where(v < -half, v + xx, v)
+    dx = v.astype(dtype) - frac[:, 0][:, None]
+    yg = jnp.arange(band, dtype=jnp.int32)[None, :]
+    dy = (yg - anchor[:, 1][:, None].astype(jnp.int32)).astype(dtype) \
+        - frac[:, 1][:, None]
+    return delta_1d(jnp.abs(dy)), delta_1d(jnp.abs(dx))
+
+
+def band_moments(f, band, storage="raw"):
     """(rho, mom) of the first `band` rows only."""
     fb = f[:, :band, :]
     rho = jnp.sum(fb, axis=0)
+    if storage == "deviatoric":
+        rho = 1.0 + rho
     c = jnp.asarray(C, f.dtype)
     mom = jnp.einsum("iyx,ic->cyx", fb, c)
     return rho, mom
 
 
-def interpolate(f, s, u_s, band=DEFAULT_BAND):
+def interpolate(f, s, u_s, band=DEFAULT_BAND, storage="raw", anchored=None):
     """Direct-forcing IB force, F_s [Ns, 2] — band-matmul formulation of
-    ImmersedBoundary.cu:94-133 (2 delta rho (u_s - u) summed over support)."""
-    rho, mom = band_moments(f, band)
-    dy, dx = _delta_factors(s, f.shape[2], band, f.dtype)
+    ImmersedBoundary.cu:94-133 (2 delta rho (u_s - u) summed over support).
+
+    anchored: optional (anchor_x int32 [Ns], local [Ns,2]) pair for the
+    precision-preserving position split; `s` is then ignored for the delta
+    evaluation."""
+    rho, mom = band_moments(f, band, storage)
+    if anchored is not None:
+        dy, dx = _delta_factors_anchored(
+            anchored[0], anchored[1], f.shape[2], band, f.dtype)
+    else:
+        dy, dx = _delta_factors(s, f.shape[2], band, f.dtype)
     # T[q, k, x] = sum_y DY[k,y] q[y,x]; stack rho + 2 momentum components.
     q = jnp.concatenate([rho[None], mom], axis=0)        # [3, band, X]
     t = jnp.einsum("ky,qyx->qkx", dy, q,
@@ -71,11 +107,15 @@ def interpolate(f, s, u_s, band=DEFAULT_BAND):
     return (2.0 * (u_s.T * i_rho[None] - i_mom)).T        # [Ns, 2]
 
 
-def spread(f_s, s, eps, xdim, band=DEFAULT_BAND):
+def spread(f_s, s, eps, xdim, band=DEFAULT_BAND, anchored=None):
     """Eulerian band force field [2, band, X] — one matmul
     (ImmersedBoundary.cu:178-231 recast; full-field rows above the band are
     identically zero)."""
-    dy, dx = _delta_factors(s, xdim, band, f_s.dtype)
+    if anchored is not None:
+        dy, dx = _delta_factors_anchored(
+            anchored[0], anchored[1], xdim, band, f_s.dtype)
+    else:
+        dy, dx = _delta_factors(s, xdim, band, f_s.dtype)
     lhs = (f_s * eps[:, None].astype(f_s.dtype))          # [Ns, 2]
     a = lhs.T[:, None, :] * dy.T[None]                    # [2, band, Ns]
     return jnp.einsum("cyk,kx->cyx", a, dx,

@@ -74,7 +74,7 @@ def _pick_tile(ydim: int, xdim: int, itemsize: int = 4,
 
 def _collide_stream_kernel(
     f_hbm, force_hbm, out_ref, fsc, fup, fdn, foc, fo_up, fo_dn, sem,
-    *, ydim, xdim, ty, band, tau, tau2, forcing, walls,
+    *, ydim, xdim, ty, band, tau, tau2, forcing, walls, storage,
 ):
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
@@ -132,12 +132,12 @@ def _collide_stream_kernel(
             [fo_up[c, 7:8, :], foc[c], fo_dn[c, 0:1, :]], axis=0)
 
     # --- moments (plane-by-plane accumulation keeps liveness low) --------
-    rho = fplane(0)
+    fsum = fplane(0)
     mom_x = None
     mom_y = None
     for d in range(1, 9):
         p = fplane(d)
-        rho = rho + p
+        fsum = fsum + p
         if CX[d] == 1:
             mom_x = p if mom_x is None else mom_x + p
         elif CX[d] == -1:
@@ -148,6 +148,8 @@ def _collide_stream_kernel(
             mom_y = mom_y - p
     gx = foplane(0)
     gy = foplane(1)
+    rho = 1.0 + fsum if storage == "deviatoric" else fsum
+    drho = fsum if storage == "deviatoric" else None
     inv_rho = 1.0 / rho
     # Previous step's spread-corrected velocity (ImmersedBoundary.cu:249-255),
     # recomputed from (f, force) instead of stored.
@@ -174,11 +176,17 @@ def _collide_stream_kernel(
         elif cy == -1:
             cu = cu - uy
         if cx == 0 and cy == 0:
-            f0 = rho * w * (1.0 - u2h)
+            if storage == "deviatoric":
+                f0 = w * drho - rho * w * u2h
+            else:
+                f0 = rho * w * (1.0 - u2h)
             src = (-w / CS2) * (ux * gx + uy * gy)
         else:
-            f0 = rho * w * (1.0 + cu * (1.0 / CS2) + cu * cu * (0.5 / CS4)
-                            - u2h)
+            poly = cu * (1.0 / CS2) + cu * cu * (0.5 / CS4) - u2h
+            if storage == "deviatoric":
+                f0 = w * drho + rho * w * poly
+            else:
+                f0 = rho * w * (1.0 + poly)
             vec_x = (cx - ux) * (1.0 / CS2) + cu * (cx * (1.0 / CS4))
             vec_y = (cy - uy) * (1.0 / CS2) + cu * (cy * (1.0 / CS4))
             src = w * (vec_x * gx + vec_y * gy)
@@ -249,7 +257,7 @@ def _collide_stream_kernel(
 
 def _pipelined_kernel(
     f_hbm, force_hbm, out_ref, fsl, fosl, f1sl, sem,
-    *, ydim, xdim, ty, band_tiles, tau, tau2, forcing, walls,
+    *, ydim, xdim, ty, band_tiles, tau, tau2, forcing, walls, storage,
 ):
     """Lag-1 software-pipelined variant with an f1 ring.
 
@@ -325,7 +333,12 @@ def _pipelined_kernel(
         sc = i % 2
         rc = i % 3
         f = [fsl[sc, d] for d in range(9)]
-        rho = f[0] + f[1] + f[2] + f[3] + f[4] + f[5] + f[6] + f[7] + f[8]
+        fsum = f[0] + f[1] + f[2] + f[3] + f[4] + f[5] + f[6] + f[7] + f[8]
+        # deviatoric storage: f holds f_i - w_i, so rho = 1 + sum (sum w = 1)
+        # and the momentum sums are unchanged (sum w c = 0) but free of the
+        # f32 cancellation of the large constant part.
+        rho = 1.0 + fsum if storage == "deviatoric" else fsum
+        drho = fsum if storage == "deviatoric" else None
         mom_x = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
         mom_y = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
         gx = fosl[sc, 0]
@@ -346,7 +359,11 @@ def _pipelined_kernel(
 
         # Rest population: BGK with omega+, no forcing
         # (LatticeBoltzmann.cu:86).
-        f1sl[rc, 0] = f[0] - omega_p * (f[0] - rho * (WI[0] * (1.0 - u2h)))
+        if storage == "deviatoric":
+            f0_0 = WI[0] * drho - rho * (WI[0] * u2h)
+        else:
+            f0_0 = rho * (WI[0] * (1.0 - u2h))
+        f1sl[rc, 0] = f[0] - omega_p * (f[0] - f0_0)
         for a, b in ((1, 3), (2, 4), (5, 7), (6, 8)):
             cx, cy, w = CX[a], CY[a], WI[a]
             cu = ux if cx == 1 else -ux if cx == -1 else 0.0
@@ -359,7 +376,12 @@ def _pipelined_kernel(
                 cg = cg + gy
             elif cy == -1:
                 cg = cg - gy
-            f0_p = rho * (w * (1.0 + cu * cu * (0.5 / CS4))) - (w * rho) * u2h
+            if storage == "deviatoric":
+                f0_p = (w * drho + rho * (w * (cu * cu * (0.5 / CS4)))
+                        - (w * rho) * u2h)
+            else:
+                f0_p = (rho * (w * (1.0 + cu * cu * (0.5 / CS4)))
+                        - (w * rho) * u2h)
             f0_m = (w / CS2) * (rho * cu)
             s_even = w * (cu * cg * (1.0 / CS4) - ug)
             s_odd = (w / CS2) * cg
@@ -419,7 +441,8 @@ def _pipelined_kernel(
 
 def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32,
                        forcing: str = "trt_split", interpret: bool | None = None,
-                       tile_y: int | None = None, pipeline: bool = True):
+                       tile_y: int | None = None, pipeline: bool = True,
+                       storage: str = "raw"):
     """Build the jittable fused (f, force) -> f_new update for a fixed config.
 
     pipeline=True selects the lag-1 software-pipelined kernel (minimal HBM
@@ -459,7 +482,7 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
     common = dict(
         ydim=ydim, xdim=xdim, ty=ty,
         tau=float(cfg.tau), tau2=float(cfg.tau2), forcing=forcing,
-        walls=walls,
+        walls=walls, storage=storage,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),

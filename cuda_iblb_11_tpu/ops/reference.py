@@ -67,34 +67,48 @@ class WallSpec:
 REFERENCE_WALLS = WallSpec()
 
 
-def moments(f):
-    """rho = sum_i f_i ; u = sum_i c_i f_i / rho  (LatticeBoltzmann.cu:396-405)."""
+def moments(f, storage="raw"):
+    """rho = sum_i f_i ; u = sum_i c_i f_i / rho  (LatticeBoltzmann.cu:396-405).
+
+    storage="deviatoric": f holds f_i - w_i (well-balanced storage); rho is
+    then 1 + sum f_dev (sum w = 1) and the momentum sum is unchanged
+    (sum w c = 0), with the f32 cancellation error of the large constant
+    part eliminated."""
     rho = jnp.sum(f, axis=0)
+    if storage == "deviatoric":
+        rho = 1.0 + rho
     c = jnp.asarray(C, f.dtype)
     mom = jnp.einsum("iyx,ic->cyx", f, c)
     return rho, mom / rho
 
 
-def corrected_velocity(f, force):
+def corrected_velocity(f, force, storage="raw"):
     """u = (sum_i c_i f_i + force/2) / rho — the IB half-force correction
     applied at the end of the reference's spread kernel
     (ImmersedBoundary.cu:249-255)."""
     rho = jnp.sum(f, axis=0)
+    if storage == "deviatoric":
+        rho = 1.0 + rho
     c = jnp.asarray(C, f.dtype)
     mom = jnp.einsum("iyx,ic->cyx", f, c)
     return rho, (mom + 0.5 * force) / rho
 
 
-def equilibrium(rho, u):
-    """D2Q9 second-order equilibrium (LatticeBoltzmann.cu:47-50)."""
+def equilibrium(rho, u, storage="raw"):
+    """D2Q9 second-order equilibrium (LatticeBoltzmann.cu:47-50).
+
+    storage="deviatoric": returns f0_i - w_i computed WITHOUT forming the
+    large constant part: w_i [(rho-1) + rho (cu/cs^2 + cu^2/2cs^4
+    - u^2/2cs^2)]."""
     dtype = u.dtype
     c = jnp.asarray(C, dtype)           # [9, 2]
     w = jnp.asarray(W, dtype)           # [9]
     cu = jnp.einsum("ic,cyx->iyx", c, u)
     u2 = jnp.sum(u * u, axis=0)
-    return rho[None] * w[:, None, None] * (
-        1.0 + cu / CS2 + cu * cu / (2.0 * CS4) - u2[None] / (2.0 * CS2)
-    )
+    poly = cu / CS2 + cu * cu / (2.0 * CS4) - u2[None] / (2.0 * CS2)
+    if storage == "deviatoric":
+        return w[:, None, None] * ((rho - 1.0)[None] + rho[None] * poly)
+    return rho[None] * w[:, None, None] * (1.0 + poly)
 
 
 def guo_forcing(u, force, tau, tau2=None, scheme="reference"):
@@ -231,7 +245,7 @@ def stream(f1, walls: WallSpec = REFERENCE_WALLS, rho_wall: float = RHO_0):
 
 
 def lb_substep(f, force, tau, tau2, walls: WallSpec = REFERENCE_WALLS,
-               forcing: str = "reference"):
+               forcing: str = "reference", storage: str = "raw"):
     """One full fluid update: equilibrium -> TRT collide -> stream.
 
     Inputs are this step's f and the *previous* step's IB force (one-step
@@ -242,10 +256,14 @@ def lb_substep(f, force, tau, tau2, walls: WallSpec = REFERENCE_WALLS,
     Returns (f_new, rho_new, u_new) with the *uncorrected* macro moments that
     the reference's interpolate kernel reads (main.cu:880,900).
     """
-    rho, u = corrected_velocity(f, force)
-    f0 = equilibrium(rho, u)
+    rho, u = corrected_velocity(f, force, storage)
+    f0 = equilibrium(rho, u, storage)
     F = guo_forcing(u, force, tau, tau2, scheme=forcing)
+    # The TRT relaxation is affine with identical structure in raw and
+    # deviatoric form (pair weights are equal, so the constant parts cancel
+    # in f_minus and shift f_plus/f0_plus identically); streaming and walls
+    # are weight-preserving permutations.
     f1 = trt_collide(f, f0, F, tau, tau2)
     f_new = stream(f1, walls)
-    rho_new, u_new = moments(f_new)
+    rho_new, u_new = moments(f_new, storage)
     return f_new, rho_new, u_new

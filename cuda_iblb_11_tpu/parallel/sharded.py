@@ -69,7 +69,7 @@ def _exchange_halo(arr, axis_name, axis):
 
 
 def _local_lb_substep(f_loc, force_loc, tau, tau2, walls, forcing,
-                      is_bottom, is_top):
+                      is_bottom, is_top, storage="raw"):
     """One fluid update on a local block with halo exchange.
 
     f_loc [9, Yl, Xl] -> f_new [9, Yl, Xl].  Equivalent to
@@ -78,8 +78,8 @@ def _local_lb_substep(f_loc, force_loc, tau, tau2, walls, forcing,
     f_ext = _exchange_halo(_exchange_halo(f_loc, "x", 2), "y", 1)
     fo_ext = _exchange_halo(_exchange_halo(force_loc, "x", 2), "y", 1)
 
-    rho, u = ref.corrected_velocity(f_ext, fo_ext)
-    f0 = ref.equilibrium(rho, u)
+    rho, u = ref.corrected_velocity(f_ext, fo_ext, storage)
+    f0 = ref.equilibrium(rho, u, storage)
     F = ref.guo_forcing(u, fo_ext, tau, tau2, scheme=forcing)
     f1 = ref.trt_collide(f_ext, f0, F, tau, tau2)
 
@@ -127,6 +127,7 @@ class ShardedMucociliarySim:
         self.mesh = mesh
         self.walls = walls
         self.forcing = forcing
+        self.storage = cfg.storage_resolved
         self.dtype = jnp.dtype(dtype or cfg.dtype)
         self.cilia = CiliaModel(cfg, dtype=self.dtype, pattern=pattern)
         self.n_y, self.n_x = mesh.devices.shape
@@ -185,7 +186,7 @@ class ShardedMucociliarySim:
 
         f_new = _local_lb_substep(
             f_loc, force_loc, cfg.tau, cfg.tau2, self.walls, self.forcing,
-            is_bottom, is_top)
+            is_bottom, is_top, self.storage)
 
         # --- IB interpolation: ownership-masked local gather + psum ------
         xw, yc, w, valid = ib._stencil(s, cfg.xdim, cfg.ydim)
@@ -196,6 +197,8 @@ class ShardedMucociliarySim:
         xloc = jnp.clip(xw - x0, 0, self.xl - 1)
         f_cells = f_new[:, yloc, xloc]                     # [9, Ns, 9]
         rho_c = jnp.sum(f_cells, axis=0)
+        if self.storage == "deviatoric":
+            rho_c = 1.0 + rho_c
         c = jnp.asarray(C, f_new.dtype)
         mom = jnp.einsum("inm,ic->cnm", f_cells, c)
         u_c = mom / rho_c[None]
@@ -219,6 +222,8 @@ class ShardedMucociliarySim:
         cx = jnp.asarray(C[:, 0], f_new.dtype)
         col_f = f_new[:, :, xf]
         rho_col = jnp.sum(col_f, axis=0)
+        if self.storage == "deviatoric":
+            rho_col = 1.0 + rho_col
         mom_col = jnp.einsum("iy,i->y", col_f, cx)
         ux_col = (mom_col + 0.5 * force_new[0, :, xf]) / rho_col
         contrib = jnp.where(col_owned, jnp.sum(ux_col), 0.0) / 192.0
