@@ -54,6 +54,23 @@ def main():
         mlups = cfg.size * steps / dt / 1e6
         log(f"{steps} steps in {dt:.3f}s  q={float(state.q):.3e}  "
             f"rho-finite={bool(jnp.isfinite(state.f).all())}")
+
+        # secondary metric: bf16 deviatoric fast mode (stderr only)
+        if sim_backend == "pallas":
+            try:
+                simb = MucociliarySim(cfg.replace(dtype="bfloat16"),
+                                      backend="pallas")
+                stb = simb.run_chunk(simb.init_state(), steps)
+                _ = float(stb.q)
+                t0 = time.perf_counter()
+                stb = simb.run_chunk(stb, steps)
+                _ = float(stb.q)
+                dtb = time.perf_counter() - t0
+                log(f"secondary: bf16 fast mode "
+                    f"{cfg.size * steps / dtb / 1e6:.0f} MLUPS "
+                    f"(velocity ~1-3% noise; flux <1%)")
+            except Exception as e:  # noqa: BLE001
+                log(f"bf16 secondary failed: {e!r}")
         print(json.dumps({
             "metric": "MLUPS/chip, 2048x2048 D2Q9 TRT + IB cilia (full step)",
             "value": round(mlups, 1),

@@ -66,7 +66,8 @@ class SimConfig:
     @property
     def storage_resolved(self) -> str:
         if self.storage == "auto":
-            return "deviatoric" if self.dtype == "float32" else "raw"
+            return ("deviatoric" if self.dtype in ("float32", "bfloat16")
+                    else "raw")
         return self.storage
 
     # ---- derived quantities -------------------------------------------------

@@ -49,8 +49,10 @@ def initial_state(cfg: SimConfig, dtype=None) -> FlowState:
         f = jnp.broadcast_to(
             (RHO_0 * W).astype(dtype)[:, None, None], (NQ, y, x)
         ).copy()
-    force = jnp.zeros((2, cfg.force_band, x), dtype)
-    lasts = jnp.zeros((cfg.c_num, cfg.length, 2), dtype)
-    q = jnp.zeros((), dtype)
+    # force / boundary / flux stay at least f32 even under bf16 f storage
+    aux = jnp.promote_types(dtype, jnp.float32)
+    force = jnp.zeros((2, cfg.force_band, x), aux)
+    lasts = jnp.zeros((cfg.c_num, cfg.length, 2), aux)
+    q = jnp.zeros((), aux)
     it = jnp.zeros((), jnp.int32)
     return FlowState(f=f, force=force, lasts=lasts, q=q, it=it)

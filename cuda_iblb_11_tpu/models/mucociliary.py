@@ -55,14 +55,16 @@ class MucociliarySim:
         self.walls = walls
         self.forcing = forcing
         self.dtype = jnp.dtype(dtype or cfg.dtype)
-        self.cilia = CiliaModel(cfg, dtype=self.dtype, pattern=pattern)
+        # boundary/IB quantities stay >= f32 even with bf16 fluid storage
+        self.aux_dtype = jnp.promote_types(self.dtype, jnp.float32)
+        self.cilia = CiliaModel(cfg, dtype=self.aux_dtype, pattern=pattern)
         if backend == "auto":
             # fused Pallas kernel where it applies; jnp oracle otherwise
             pallas_ok = (
                 jax.default_backend() == "tpu"
                 and cfg.xdim % 128 == 0
                 and cfg.ydim % 8 == 0
-                and self.dtype == jnp.float32
+                and self.dtype in (jnp.float32, jnp.bfloat16)
                 and walls.left == "periodic"
                 and walls.bottom == "noslip"
                 and walls.top in ("slip", "noslip")
@@ -79,10 +81,11 @@ class MucociliarySim:
         elif backend == "jnp":
             def _substep(f, force_band):
                 force = ib_band.pad_band(force_band, cfg.ydim)
+                # compute in >= f32 even with bf16 storage
                 f_new, _, _ = ref.lb_substep(
-                    f, force, cfg.tau, cfg.tau2, walls, forcing=forcing,
-                    storage=self.storage)
-                return f_new
+                    f.astype(self.aux_dtype), force, cfg.tau, cfg.tau2,
+                    walls, forcing=forcing, storage=self.storage)
+                return f_new.astype(self.dtype)
 
             self._lb_substep = _substep
         else:
@@ -119,7 +122,7 @@ class MucociliarySim:
             state.f, state.force, state.q, u_s, eps, anchored)
         return FlowState(
             f=f_new, force=force_new,
-            lasts=lasts_new.astype(self.dtype),
+            lasts=lasts_new.astype(self.aux_dtype),
             q=q_new, it=state.it + 1,
         )
 
@@ -153,7 +156,7 @@ class MucociliarySim:
         (f, force, q), _ = jax.lax.scan(
             body, (state.f, state.force, state.q), (u_s, eps, anchor, frac))
         return FlowState(f=f, force=force,
-                         lasts=pos[-1].astype(self.dtype), q=q,
+                         lasts=pos[-1].astype(self.aux_dtype), q=q,
                          it=state.it + n_steps)
 
     def run_chunk(self, state: FlowState, n_steps: int) -> FlowState:

@@ -138,13 +138,14 @@ def flux_increment(f_new, force_new, flux_x, ydim_divisor=192.0,
     with the same default.  `force_new` may be the band-sized force field
     ([2, BAND, X], zero above the band).
     """
-    cx = jnp.asarray(C[:, 0], f_new.dtype)
-    col_f = f_new[:, :, flux_x]          # [9, Y]
+    cdt = jnp.promote_types(f_new.dtype, jnp.float32)
+    cx = jnp.asarray(C[:, 0], cdt)
+    col_f = f_new[:, :, flux_x].astype(cdt)  # [9, Y]
     rho = jnp.sum(col_f, axis=0)
     if storage == "deviatoric":
         rho = 1.0 + rho
     mom_x = jnp.einsum("iy,i->y", col_f, cx)
-    fcol = force_new[0, :, flux_x]
+    fcol = force_new[0, :, flux_x].astype(cdt)
     ydim = f_new.shape[1]
     if fcol.shape[0] < ydim:
         fcol = jnp.pad(fcol, (0, ydim - fcol.shape[0]))

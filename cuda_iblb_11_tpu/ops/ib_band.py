@@ -74,8 +74,8 @@ def _delta_factors_anchored(anchor, frac, xdim, band, dtype):
 
 
 def band_moments(f, band, storage="raw"):
-    """(rho, mom) of the first `band` rows only."""
-    fb = f[:, :band, :]
+    """(rho, mom) of the first `band` rows only (computed in >=f32)."""
+    fb = f[:, :band, :].astype(jnp.promote_types(f.dtype, jnp.float32))
     rho = jnp.sum(fb, axis=0)
     if storage == "deviatoric":
         rho = 1.0 + rho
@@ -92,19 +92,20 @@ def interpolate(f, s, u_s, band=DEFAULT_BAND, storage="raw", anchored=None):
     precision-preserving position split; `s` is then ignored for the delta
     evaluation."""
     rho, mom = band_moments(f, band, storage)
+    cdt = rho.dtype
     if anchored is not None:
         dy, dx = _delta_factors_anchored(
-            anchored[0], anchored[1], f.shape[2], band, f.dtype)
+            anchored[0], anchored[1], f.shape[2], band, cdt)
     else:
-        dy, dx = _delta_factors(s, f.shape[2], band, f.dtype)
+        dy, dx = _delta_factors(s, f.shape[2], band, cdt)
     # T[q, k, x] = sum_y DY[k,y] q[y,x]; stack rho + 2 momentum components.
     q = jnp.concatenate([rho[None], mom], axis=0)        # [3, band, X]
     t = jnp.einsum("ky,qyx->qkx", dy, q,
-                   preferred_element_type=f.dtype)        # [3, Ns, X]
+                   preferred_element_type=cdt)            # [3, Ns, X]
     i_q = jnp.sum(dx[None] * t, axis=-1)                  # [3, Ns]
     i_rho = i_q[0]
     i_mom = i_q[1:]                                       # [2, Ns]
-    return (2.0 * (u_s.T * i_rho[None] - i_mom)).T        # [Ns, 2]
+    return (2.0 * (u_s.astype(cdt).T * i_rho[None] - i_mom)).T  # [Ns, 2]
 
 
 def spread(f_s, s, eps, xdim, band=DEFAULT_BAND, anchored=None):

@@ -258,6 +258,7 @@ def _collide_stream_kernel(
 def _pipelined_kernel(
     f_hbm, force_hbm, out_ref, fsl, fosl, f1sl, sem,
     *, ydim, xdim, ty, band_tiles, tau, tau2, forcing, walls, storage,
+    cdt=jnp.float32, align=8,
 ):
     """Lag-1 software-pipelined variant with an f1 ring.
 
@@ -286,7 +287,7 @@ def _pipelined_kernel(
     n_tiles = pl.num_programs(0) - 1
 
     def start_dma(tile):
-        base = pl.multiple_of(tile * ty, 8)
+        base = pl.multiple_of(tile * ty, align)
         slot = tile % 2
         pltpu.make_async_copy(
             f_hbm.at[:, pl.ds(base, ty), :], fsl.at[slot], sem.at[slot, 0]
@@ -306,7 +307,7 @@ def _pipelined_kernel(
 
     def wait_dma(tile):
         slot = tile % 2
-        base = pl.multiple_of(tile * ty, 8)
+        base = pl.multiple_of(tile * ty, align)
         pltpu.make_async_copy(
             f_hbm.at[:, pl.ds(base, ty), :], fsl.at[slot], sem.at[slot, 0]
         ).wait()
@@ -332,7 +333,9 @@ def _pipelined_kernel(
         wait_dma(i)
         sc = i % 2
         rc = i % 3
-        f = [fsl[sc, d] for d in range(9)]
+        # Loads are cast to the compute dtype (f32 math over bf16 storage
+        # in the fast mode; identity for f32/f64 storage).
+        f = [fsl[sc, d].astype(cdt) for d in range(9)]
         fsum = f[0] + f[1] + f[2] + f[3] + f[4] + f[5] + f[6] + f[7] + f[8]
         # deviatoric storage: f holds f_i - w_i, so rho = 1 + sum (sum w = 1)
         # and the momentum sums are unchanged (sum w c = 0) but free of the
@@ -341,8 +344,8 @@ def _pipelined_kernel(
         drho = fsum if storage == "deviatoric" else None
         mom_x = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
         mom_y = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
-        gx = fosl[sc, 0]
-        gy = fosl[sc, 1]
+        gx = fosl[sc, 0].astype(cdt)
+        gy = fosl[sc, 1].astype(cdt)
         inv_rho = 1.0 / rho
         # Previous step's spread-corrected velocity
         # (ImmersedBoundary.cu:249-255), recomputed from (f, force).
@@ -415,28 +418,29 @@ def _pipelined_kernel(
                     [f1sl[rc, d, 1:ty, :], f1sl[rn, d, 0:1, :]], axis=0)
             if cx != 0:
                 rows = jnp.roll(rows, cx, axis=-1)  # periodic "thru" stream
-            out_ref[d] = rows
+            out_ref[d] = rows.astype(out_ref.dtype)
 
         # Wall fixups (LatticeBoltzmann.cu:328-353): same-cell permuted
         # populations of tile j's own f1 rows.
+        odt = out_ref.dtype
         if walls.bottom == "noslip":
             @pl.when(j == 0)
             def _bottom():
-                out_ref[2, 0:1, :] = f1sl[rc, 4, 0:1, :]
-                out_ref[5, 0:1, :] = f1sl[rc, 7, 0:1, :]
-                out_ref[6, 0:1, :] = f1sl[rc, 8, 0:1, :]
+                out_ref[2, 0:1, :] = f1sl[rc, 4, 0:1, :].astype(odt)
+                out_ref[5, 0:1, :] = f1sl[rc, 7, 0:1, :].astype(odt)
+                out_ref[6, 0:1, :] = f1sl[rc, 8, 0:1, :].astype(odt)
         if walls.top == "slip":  # specular: 4<-2, 8<-5, 7<-6
             @pl.when(j == n_tiles - 1)
             def _top_slip():
-                out_ref[4, ty - 1:ty, :] = f1sl[rc, 2, ty - 1:ty, :]
-                out_ref[8, ty - 1:ty, :] = f1sl[rc, 5, ty - 1:ty, :]
-                out_ref[7, ty - 1:ty, :] = f1sl[rc, 6, ty - 1:ty, :]
+                out_ref[4, ty - 1:ty, :] = f1sl[rc, 2, ty - 1:ty, :].astype(odt)
+                out_ref[8, ty - 1:ty, :] = f1sl[rc, 5, ty - 1:ty, :].astype(odt)
+                out_ref[7, ty - 1:ty, :] = f1sl[rc, 6, ty - 1:ty, :].astype(odt)
         elif walls.top == "noslip":  # bounce-back: 4<-2, 7<-5, 8<-6
             @pl.when(j == n_tiles - 1)
             def _top_noslip():
-                out_ref[4, ty - 1:ty, :] = f1sl[rc, 2, ty - 1:ty, :]
-                out_ref[7, ty - 1:ty, :] = f1sl[rc, 5, ty - 1:ty, :]
-                out_ref[8, ty - 1:ty, :] = f1sl[rc, 6, ty - 1:ty, :]
+                out_ref[4, ty - 1:ty, :] = f1sl[rc, 2, ty - 1:ty, :].astype(odt)
+                out_ref[7, ty - 1:ty, :] = f1sl[rc, 5, ty - 1:ty, :].astype(odt)
+                out_ref[8, ty - 1:ty, :] = f1sl[rc, 6, ty - 1:ty, :].astype(odt)
 
 
 def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32,
@@ -469,7 +473,16 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
         raise ValueError(
             f"pallas backend requires xdim % 128 == 0 on TPU (got {xdim})")
     dtype = jnp.dtype(dtype)
+    # bf16 storage computes in f32 (deviatoric storage required: raw bf16
+    # cannot represent the distributions usefully); force stays f32.
+    cdt = jnp.dtype(jnp.float32) if dtype.itemsize < 4 else dtype
+    fdt = cdt  # force array dtype
+    align = 16 if dtype.itemsize == 2 else 8
+    if dtype.itemsize == 2 and storage != "deviatoric":
+        raise ValueError("bf16 storage requires deviatoric mode")
     ty = tile_y or _pick_tile(ydim, xdim, dtype.itemsize, pipeline)
+    if dtype.itemsize == 2 and ty % 16:
+        ty = max(16, ty - ty % 16)
     if ydim % ty:
         raise ValueError(f"ydim {ydim} not divisible by tile {ty}")
     n_tiles = ydim // ty
@@ -492,7 +505,8 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
 
     if pipeline:
         kernel = functools.partial(
-            _pipelined_kernel, band_tiles=band // ty, **common)
+            _pipelined_kernel, band_tiles=band // ty, cdt=cdt, align=align,
+            **common)
         bytes_total = (11 + 9) * ydim * xdim * dtype.itemsize
         call = pl.pallas_call(
             kernel,
@@ -504,8 +518,8 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((2, 9, ty, xdim), dtype),  # f slots
-                pltpu.VMEM((2, 2, ty, xdim), dtype),  # force slots
-                pltpu.VMEM((3, 9, ty, xdim), dtype),  # f1 ring
+                pltpu.VMEM((2, 2, ty, xdim), fdt),    # force slots
+                pltpu.VMEM((3, 9, ty, xdim), cdt),    # f1 ring
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
             compiler_params=pltpu.CompilerParams(
@@ -518,6 +532,9 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
             interpret=interpret,
         )
     else:
+        if dtype.itemsize == 2:
+            raise NotImplementedError(
+                "bf16 storage only in the pipelined kernel")
         kernel = functools.partial(_collide_stream_kernel, band=band,
                                    **common)
         bytes_per_tile = (11 * (ty + 16) + 9 * ty) * xdim * dtype.itemsize
@@ -546,6 +563,6 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
         )
 
     def substep(f, force):
-        return call(f.astype(dtype), force.astype(dtype))
+        return call(f.astype(dtype), force.astype(fdt))
 
     return substep

@@ -100,3 +100,16 @@ def test_f32_velocity_noise_floor():
     l2 = float(jnp.linalg.norm(u64 - u32.astype(jnp.float64))
                / jnp.linalg.norm(u64))
     assert l2 < 1.2e-5, l2
+
+
+def test_bfloat16_fast_mode():
+    # bf16 deviatoric storage: exploratory/fast mode — integral quantities
+    # stay within ~1% of f32; the velocity field carries ~1-3% noise
+    # (documented, never the default).
+    simb = MucociliarySim(SimConfig(c_num=4, c_space=48, dtype="bfloat16"))
+    sim32 = MucociliarySim(SimConfig(c_num=4, c_space=48, dtype="float32"))
+    stb = simb.run_chunk(simb.init_state(), 200)
+    st32 = sim32.run_chunk(sim32.init_state(), 200)
+    assert stb.f.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(stb.f.astype(jnp.float32)).all())
+    assert abs(float(stb.q) - float(st32.q)) < 0.02 * abs(float(st32.q))
