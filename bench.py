@@ -35,7 +35,7 @@ def main():
     # 2048^2 grid with a cilia array (c_num*c_space = XDIM).
     cfg = SimConfig(c_num=16, c_space=128, ydim=2048, dtype="float32")
     sim_backend = "pallas" if backend_kind == "tpu" else "jnp"
-    steps = 200 if backend_kind == "tpu" else 3
+    steps = 500 if backend_kind == "tpu" else 3
 
     try:
         sim = MucociliarySim(cfg, backend=sim_backend)
