@@ -99,3 +99,27 @@ def test_pipelined_band_smaller_than_grid():
     want, _, _ = ref.lb_substep(f, force_zeropad, cfg.tau, cfg.tau2,
                                 ref.REFERENCE_WALLS, forcing="trt_split")
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-12, atol=1e-15)
+
+
+def test_pipelined_bf16_storage_interpret():
+    # bf16 deviatoric storage with f32 in-kernel compute.
+    ydim, xdim = 32, 256
+    cfg = SimConfig(c_num=2, c_space=xdim // 2, ydim=ydim,
+                    dtype="bfloat16")
+    f32, force = _random_state(ydim, xdim, jnp.float32)
+    w = jnp.asarray(np.asarray(W, np.float32))[:, None, None]
+    fdev = (f32 - w).astype(jnp.bfloat16)
+    force = force[:, :cfg.force_band, :].astype(jnp.float32)
+    fused = make_fused_substep(cfg, dtype=jnp.bfloat16, interpret=True,
+                               tile_y=16, pipeline=True,
+                               storage="deviatoric")
+    got = np.asarray(fused(fdev, force)).astype(np.float32)
+    # oracle in f32 on the dequantized state
+    fullforce = jnp.concatenate(
+        [force, jnp.zeros((2, ydim - cfg.force_band, xdim), jnp.float32)], 1)
+    want, _, _ = ref.lb_substep(
+        fdev.astype(jnp.float32), fullforce, cfg.tau, cfg.tau2,
+        ref.REFERENCE_WALLS, forcing="trt_split", storage="deviatoric")
+    # bf16 output rounding only: ~0.4% relative on the deviations
+    np.testing.assert_allclose(got, np.asarray(want), rtol=0, atol=3e-3)
+    assert got.dtype == np.float32 and fused(fdev, force).dtype == jnp.bfloat16
