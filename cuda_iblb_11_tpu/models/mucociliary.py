@@ -94,7 +94,7 @@ class MucociliarySim:
     def init_state(self) -> FlowState:
         return initial_state(self.cfg, self.dtype)
 
-    def _fluid_ib_step(self, f, force, q, u_s, eps, local):
+    def _fluid_ib_step(self, f, force, q, u_s, eps, anchored):
         """Fluid + IB + flux for one step, given this step's boundary data.
 
         Boundary positions arrive in the precision-preserving
@@ -105,7 +105,6 @@ class MucociliarySim:
         # IB coupling in the MXU-friendly band-matmul form (ops/ib_band.py),
         # mathematically identical to the stencil gather/scatter (ops/ib.py).
         band = cfg.force_band
-        anchored = local  # (anchor [Ns,2] int32, frac [Ns,2])
         f_s = ib_band.interpolate(f_new, None, u_s, band,
                                   storage=self.storage, anchored=anchored)
         force_new = ib_band.spread(f_s, None, eps, cfg.xdim, band,
@@ -140,8 +139,8 @@ class MucociliarySim:
         cfg = self.cfg
         its = state.it + jnp.arange(n_steps, dtype=jnp.int32)
         pos = jax.vmap(self.cilia.positions)(its)          # [n, c, nodes, 2]
-        prev = jnp.concatenate([state.lasts[None], pos[:-1]], axis=0)
-        vel = jnp.where((its > 0)[:, None, None, None], pos - prev,
+        vel = jnp.where((its > 0)[:, None, None, None],
+                        jax.vmap(self.cilia.velocities)(its),
                         jnp.zeros_like(pos))
         _, u_s, eps = jax.vmap(self.cilia.place_and_mask)(pos, vel)
         anchor, frac = jax.vmap(self.cilia.anchored_nodes)(pos)
