@@ -256,9 +256,9 @@ def _collide_stream_kernel(
 
 
 def _pipelined_kernel(
-    f_hbm, force_hbm, out_ref, fsl, fosl, f1sl, sem,
-    *, ydim, xdim, ty, band_tiles, tau, tau2, forcing, walls, storage,
-    cdt=jnp.float32, align=8,
+    *refs,
+    ydim, xdim, ty, band_tiles, tau, tau2, forcing, walls, storage,
+    cdt=jnp.float32, align=8, sharded=False, band=None,
 ):
     """Lag-1 software-pipelined variant with an f1 ring.
 
@@ -283,8 +283,32 @@ def _pipelined_kernel(
         f0+ = rho w (1 + cu^2/(2 cs^4) - u^2/(2 cs^2)),  f0- = rho w cu/cs^2
         s+  = w (cu (c.g)/cs^4 - (u.g)/cs^2),            s-  = w (c.g)/cs^2
     """
+    if sharded:
+        # (flags via scalar prefetch: [y0_rows, is_bottom, is_top];
+        #  bhalo/thalo: f1 halo rows from the neighbour shards, row 0 used)
+        (flags, f_hbm, force_hbm, bhalo, thalo, out_ref,
+         fsl, fosl, f1sl, sem) = refs
+        y0 = pl.multiple_of(flags[0], align)
+        is_bottom = flags[1] == 1
+        is_top = flags[2] == 1
+    else:
+        f_hbm, force_hbm, out_ref, fsl, fosl, f1sl, sem = refs
+        y0 = 0
+        is_bottom = True
+        is_top = True
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0) - 1
+
+    def force_pred(tile):
+        if sharded:
+            # force array holds GLOBAL band rows [0, band); this shard's
+            # tile covers global rows starting at y0 + tile*ty
+            return y0 + tile * ty < band
+        return tile < band_tiles
+
+    def force_base(tile):
+        g = y0 + tile * ty if sharded else tile * ty
+        return pl.multiple_of(g, align)
 
     def start_dma(tile):
         base = pl.multiple_of(tile * ty, align)
@@ -292,16 +316,16 @@ def _pipelined_kernel(
         pltpu.make_async_copy(
             f_hbm.at[:, pl.ds(base, ty), :], fsl.at[slot], sem.at[slot, 0]
         ).start()
-        # Force is band-sized (zero above band_tiles*ty): DMA inside the
-        # band, zero-fill above so reads see true zeros with no masking.
-        @pl.when(tile < band_tiles)
+        # Force is band-sized (zero above the band): DMA inside the band,
+        # zero-fill above so reads see true zeros with no masking.
+        @pl.when(force_pred(tile))
         def _():
             pltpu.make_async_copy(
-                force_hbm.at[:, pl.ds(base, ty), :], fosl.at[slot],
+                force_hbm.at[:, pl.ds(force_base(tile), ty), :], fosl.at[slot],
                 sem.at[slot, 1],
             ).start()
 
-        @pl.when(tile >= band_tiles)
+        @pl.when(jnp.logical_not(force_pred(tile)))
         def _():
             fosl[slot] = jnp.zeros_like(fosl[slot])
 
@@ -312,10 +336,10 @@ def _pipelined_kernel(
             f_hbm.at[:, pl.ds(base, ty), :], fsl.at[slot], sem.at[slot, 0]
         ).wait()
 
-        @pl.when(tile < band_tiles)
+        @pl.when(force_pred(tile))
         def _():
             pltpu.make_async_copy(
-                force_hbm.at[:, pl.ds(base, ty), :], fosl.at[slot],
+                force_hbm.at[:, pl.ds(force_base(tile), ty), :], fosl.at[slot],
                 sem.at[slot, 1],
             ).wait()
 
@@ -410,12 +434,22 @@ def _pipelined_kernel(
             if cy == 0:
                 rows = f1sl[rc, d]
             elif cy == 1:  # pull from below: [f1(j-1) last row, f1(j)[:-1]]
+                prev_row = f1sl[rp, d, ty - 1:ty, :]
+                if sharded:
+                    # the shard's first tile pulls from the neighbour
+                    # shard's last f1 row (exchanged over ICI)
+                    prev_row = jnp.where(
+                        j == 0, bhalo[d, 0:1, :].astype(cdt), prev_row)
                 rows = jnp.concatenate(
-                    [f1sl[rp, d, ty - 1:ty, :], f1sl[rc, d, 0:ty - 1, :]],
-                    axis=0)
+                    [prev_row, f1sl[rc, d, 0:ty - 1, :]], axis=0)
             else:          # pull from above: [f1(j)[1:], f1(j+1) first row]
+                next_row = f1sl[rn, d, 0:1, :]
+                if sharded:
+                    next_row = jnp.where(
+                        j == n_tiles - 1, thalo[d, 0:1, :].astype(cdt),
+                        next_row)
                 rows = jnp.concatenate(
-                    [f1sl[rc, d, 1:ty, :], f1sl[rn, d, 0:1, :]], axis=0)
+                    [f1sl[rc, d, 1:ty, :], next_row], axis=0)
             if cx != 0:
                 rows = jnp.roll(rows, cx, axis=-1)  # periodic "thru" stream
             out_ref[d] = rows.astype(out_ref.dtype)
@@ -424,19 +458,22 @@ def _pipelined_kernel(
         # populations of tile j's own f1 rows.
         odt = out_ref.dtype
         if walls.bottom == "noslip":
-            @pl.when(j == 0)
+            @pl.when(jnp.logical_and(j == 0, is_bottom)
+                     if sharded else (j == 0))
             def _bottom():
                 out_ref[2, 0:1, :] = f1sl[rc, 4, 0:1, :].astype(odt)
                 out_ref[5, 0:1, :] = f1sl[rc, 7, 0:1, :].astype(odt)
                 out_ref[6, 0:1, :] = f1sl[rc, 8, 0:1, :].astype(odt)
         if walls.top == "slip":  # specular: 4<-2, 8<-5, 7<-6
-            @pl.when(j == n_tiles - 1)
+            @pl.when(jnp.logical_and(j == n_tiles - 1, is_top)
+                     if sharded else (j == n_tiles - 1))
             def _top_slip():
                 out_ref[4, ty - 1:ty, :] = f1sl[rc, 2, ty - 1:ty, :].astype(odt)
                 out_ref[8, ty - 1:ty, :] = f1sl[rc, 5, ty - 1:ty, :].astype(odt)
                 out_ref[7, ty - 1:ty, :] = f1sl[rc, 6, ty - 1:ty, :].astype(odt)
         elif walls.top == "noslip":  # bounce-back: 4<-2, 7<-5, 8<-6
-            @pl.when(j == n_tiles - 1)
+            @pl.when(jnp.logical_and(j == n_tiles - 1, is_top)
+                     if sharded else (j == n_tiles - 1))
             def _top_noslip():
                 out_ref[4, ty - 1:ty, :] = f1sl[rc, 2, ty - 1:ty, :].astype(odt)
                 out_ref[7, ty - 1:ty, :] = f1sl[rc, 5, ty - 1:ty, :].astype(odt)
@@ -564,5 +601,83 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
 
     def substep(f, force):
         return call(f.astype(dtype), force.astype(fdt))
+
+    return substep
+
+
+def make_sharded_fused_substep(cfg, yl: int, walls: WallSpec = REFERENCE_WALLS,
+                               dtype=jnp.float32, forcing: str = "trt_split",
+                               storage: str = "raw",
+                               interpret: bool | None = None,
+                               tile_y: int | None = None):
+    """Per-shard fused substep for a 1-D y-sharded domain (parallel/sharded).
+
+    The local block is [9, yl, X]; the force array holds the GLOBAL band
+    rows [2, band, X] (replicated across shards).  Call signature:
+
+        substep(flags, f_loc, force_band, bhalo_f1, thalo_f1) -> f_new_loc
+
+    flags = int32 [y0_rows, is_bottom, is_top]; bhalo/thalo are [9, 8, X]
+    whose row 0 holds the f1 of the neighbour shard's adjacent row (the
+    caller computes those two rows' collisions in XLA and ring-exchanges
+    them with jax.lax.ppermute).  Walls apply only on the flagged edge
+    shards; non-edge halo rows flow through the pull-form streaming exactly
+    like interior ring rows.
+    """
+    if walls.left != "periodic":
+        raise NotImplementedError("pallas backend requires periodic x walls")
+    xdim = cfg.xdim
+    dtype = jnp.dtype(dtype)
+    cdt = jnp.dtype(jnp.float32) if dtype.itemsize < 4 else dtype
+    align = 16 if dtype.itemsize == 2 else 8
+    ty = tile_y or _pick_tile(yl, xdim, dtype.itemsize, True)
+    ty = min(ty, yl)
+    if yl % ty:
+        raise ValueError(f"local rows {yl} not divisible by tile {ty}")
+    band = cfg.force_band
+    if band % ty:
+        raise ValueError(f"force band {band} not divisible by tile {ty}")
+    n_tiles = yl // ty
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    kernel = functools.partial(
+        _pipelined_kernel,
+        ydim=yl, xdim=xdim, ty=ty, band_tiles=band // ty,
+        tau=float(cfg.tau), tau2=float(cfg.tau2), forcing=forcing,
+        walls=walls, storage=storage, cdt=cdt, align=align,
+        sharded=True, band=band,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles + 1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # f_loc
+            pl.BlockSpec(memory_space=pltpu.ANY),    # force band (global)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bhalo f1
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # thalo f1
+        ],
+        out_specs=pl.BlockSpec(
+            (9, ty, xdim), lambda i, *_: (0, jnp.maximum(i - 1, 0), 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, ty, xdim), dtype),
+            pltpu.VMEM((2, 2, ty, xdim), cdt),
+            pltpu.VMEM((3, 9, ty, xdim), cdt),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((9, yl, xdim), dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 << 20),
+        interpret=interpret,
+    )
+
+    def substep(flags, f_loc, force_band, bhalo, thalo):
+        return call(flags.astype(jnp.int32), f_loc.astype(dtype),
+                    force_band.astype(cdt), bhalo.astype(cdt),
+                    thalo.astype(cdt))
 
     return substep

@@ -242,3 +242,140 @@ class ShardedMucociliarySim:
         for _ in range(n_steps):
             state = self.step(state)
         return state
+
+
+def _collide_rows(f_rows, force_rows, tau, tau2, forcing, storage):
+    """Collision only (no streaming) on a thin [9, r, X] row slab — used to
+    produce the f1 halo rows exchanged between shards for the Pallas local
+    backend (collision is cell-local, so one row suffices)."""
+    rho, u = ref.corrected_velocity(f_rows, force_rows, storage)
+    f0 = ref.equilibrium(rho, u, storage)
+    F = ref.guo_forcing(u, force_rows, tau, tau2, scheme=forcing)
+    return ref.trt_collide(f_rows, f0, F, tau, tau2)
+
+
+class ShardedPallasSim(ShardedMucociliarySim):
+    """1-D y-sharded simulation whose per-shard fluid update is the fused
+    Pallas collide+stream kernel (ops/pallas_step.make_sharded_fused_substep).
+
+    Per step and shard: the two boundary rows' post-collision distributions
+    are computed in XLA and ring-exchanged over ICI (`ppermute`), then the
+    kernel streams the local block pulling those halo f1 rows at the shard
+    seams.  The IB force band is replicated (it is small and must be read by
+    the band-owning shard's kernel tiles); requires n_x == 1,
+    yl >= cfg.force_band and yl % tile == 0.
+    """
+
+    def __init__(self, cfg: SimConfig, mesh: Mesh,
+                 walls: ref.WallSpec = ref.REFERENCE_WALLS,
+                 forcing: str = "trt_split", pattern: str = "no_mucus",
+                 dtype=None, interpret=None):
+        if mesh.devices.shape[1] != 1:
+            raise ValueError("ShardedPallasSim requires an (n_y, 1) mesh")
+        super().__init__(cfg, mesh, walls, forcing, pattern, dtype)
+        if self.yl < cfg.force_band:
+            raise ValueError(
+                f"local rows {self.yl} must cover the force band "
+                f"{cfg.force_band} (use fewer y-shards)")
+        from cuda_iblb_11_tpu.ops.pallas_step import (
+            make_sharded_fused_substep,
+        )
+
+        self._local_substep = make_sharded_fused_substep(
+            cfg, self.yl, walls, self.dtype, forcing=forcing,
+            storage=self.storage, interpret=interpret)
+        # rebuild the sharded step with the pallas local path
+        self._step_sharded = jax.jit(
+            jax.shard_map(
+                self._step_local_pallas,
+                mesh=mesh,
+                in_specs=(P(None, "y", "x"), P(), P(), P(), P()),
+                out_specs=(P(None, "y", "x"), P(), P(), P(), P()),
+                # pallas_call outputs carry no varying-mesh-axes metadata
+                check_vma=False,
+            ),
+            donate_argnums=(0, 1),
+        )
+
+    def init_state(self) -> FlowState:
+        st = initial_state(self.cfg, self.dtype)  # band force, f by storage
+        return FlowState(
+            f=jax.device_put(st.f, self.grid_sharding()),
+            force=jax.device_put(st.force, self.replicated()),
+            lasts=jax.device_put(st.lasts, self.replicated()),
+            q=jax.device_put(st.q, self.replicated()),
+            it=jax.device_put(st.it, self.replicated()),
+        )
+
+    def _step_local_pallas(self, f_loc, force_band, lasts, q, it):
+        cfg = self.cfg
+        band = cfg.force_band
+        iy = jax.lax.axis_index("y")
+        n_y = jax.lax.psum(1, "y")
+        y0 = iy * self.yl
+
+        pos, vel, lasts_new = self.cilia.kinematics(it, lasts)
+        _, u_s, eps = self.cilia.place_and_mask(pos, vel)
+        anchored = self.cilia.anchored_nodes(pos)
+
+        # f1 of the shard's first/last rows (collision is local), then
+        # ring-exchange so neighbours can stream across the seam.
+        aux = self.dtype if self.dtype.itemsize >= 4 else jnp.float32
+
+        def force_row(g):
+            g = g.astype(jnp.int32)
+            zero = jnp.int32(0)
+            row = jax.lax.dynamic_slice(
+                force_band, (zero, jnp.clip(g, 0, band - 1), zero),
+                (2, 1, cfg.xdim))
+            return jnp.where(g < band, row, jnp.zeros_like(row))
+
+        first = f_loc[:, 0:1, :].astype(aux)
+        last = f_loc[:, self.yl - 1:self.yl, :].astype(aux)
+        f1_first = _collide_rows(first, force_row(y0), cfg.tau, cfg.tau2,
+                                 self.forcing, self.storage)
+        f1_last = _collide_rows(last, force_row(y0 + self.yl - 1), cfg.tau,
+                                cfg.tau2, self.forcing, self.storage)
+        fwd = [(k, (k + 1) % self.n_y) for k in range(self.n_y)]
+        bwd = [(k, (k - 1) % self.n_y) for k in range(self.n_y)]
+        bhalo = jax.lax.ppermute(f1_last, "y", fwd)   # from shard iy-1
+        thalo = jax.lax.ppermute(f1_first, "y", bwd)  # from shard iy+1
+        pad = [(0, 0), (0, 7), (0, 0)]
+        bhalo = jnp.pad(bhalo, pad)
+        thalo = jnp.pad(thalo, pad)
+
+        flags = jnp.stack(
+            [y0, (iy == 0).astype(jnp.int32),
+             (iy == n_y - 1).astype(jnp.int32)]).astype(jnp.int32)
+        f_new = self._local_substep(flags, f_loc, force_band, bhalo, thalo)
+
+        # IB: the band lives entirely on shard 0 (yl >= band); every shard
+        # evaluates the same band matmuls, only shard 0's input is the real
+        # band -> mask + psum replicates F_s, then spreading is replicated.
+        from cuda_iblb_11_tpu.ops import ib_band
+
+        f_s_local = ib_band.interpolate(
+            f_new, None, u_s, band, storage=self.storage, anchored=anchored)
+        f_s = jax.lax.psum(
+            jnp.where(iy == 0, f_s_local, jnp.zeros_like(f_s_local)), "y")
+        force_new = ib_band.spread(f_s, None, eps, cfg.xdim, band,
+                                   anchored=anchored)
+
+        # flux: local rows of the column + global band force rows
+        fx = cfg.flux_x
+        cdt = jnp.promote_types(f_new.dtype, jnp.float32)
+        col_f = f_new[:, :, fx].astype(cdt)
+        rho_col = jnp.sum(col_f, axis=0)
+        if self.storage == "deviatoric":
+            rho_col = 1.0 + rho_col
+        cxv = jnp.asarray(C[:, 0], cdt)
+        mom_col = jnp.einsum("iy,i->y", col_f, cxv)
+        gl = y0 + jnp.arange(self.yl, dtype=jnp.int32)
+        fcol_band = force_new[0, :, fx].astype(cdt)
+        fcol = jnp.where(gl < band,
+                         fcol_band[jnp.clip(gl, 0, band - 1)], 0.0)
+        ux = (mom_col + 0.5 * fcol) / rho_col
+        q_new = q + jax.lax.psum(jnp.sum(ux), "y") / 192.0
+
+        return (f_new, force_new.astype(force_band.dtype),
+                lasts_new.astype(lasts.dtype), q_new, it + 1)

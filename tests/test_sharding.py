@@ -60,3 +60,37 @@ def test_sharded_is_actually_sharded():
     assert len(st.f.sharding.device_set) == 8
     st = ssim.step(st)
     assert len(st.f.sharding.device_set) == 8
+
+
+@needs_8_devices
+def test_sharded_pallas_local_backend():
+    # Per-shard fused Pallas kernel (interpret mode on the CPU mesh): the
+    # f1 halo rows are collided in XLA and ring-exchanged; must match the
+    # unsharded oracle exactly.
+    from cuda_iblb_11_tpu.parallel.sharded import ShardedPallasSim
+
+    cfg = SimConfig(c_num=4, c_space=48, dtype="float64", storage="raw",
+                    ydim=256)
+    usim = MucociliarySim(cfg, backend="jnp")
+    ssim = ShardedPallasSim(cfg, make_mesh(2, 1), interpret=True)
+    ust = usim.init_state()
+    sst = ssim.init_state()
+    for _ in range(4):
+        ust = usim.step(ust)
+        sst = ssim.step(sst)
+    np.testing.assert_allclose(
+        np.asarray(sst.f), np.asarray(ust.f), rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(
+        np.asarray(sst.force), np.asarray(ust.force), rtol=1e-9, atol=1e-17)
+    np.testing.assert_allclose(float(sst.q), float(ust.q), rtol=1e-10)
+
+
+@needs_8_devices
+def test_sharded_pallas_rejects_bad_mesh():
+    from cuda_iblb_11_tpu.parallel.sharded import ShardedPallasSim
+
+    cfg = SimConfig(c_num=4, c_space=48, dtype="float64", ydim=256)
+    with pytest.raises(ValueError):
+        ShardedPallasSim(cfg, make_mesh(2, 2), interpret=True)
+    with pytest.raises(ValueError):  # yl < force band
+        ShardedPallasSim(cfg, make_mesh(4, 1), interpret=True)
