@@ -135,6 +135,8 @@ class ShardedMucociliarySim:
             raise ValueError("grid dims must divide the mesh dims")
         self.yl = cfg.ydim // self.n_y
         self.xl = cfg.xdim // self.n_x
+        self._chunk_cache = {}
+        self._local_step = self._step_local
 
         self._step_sharded = jax.jit(
             jax.shard_map(
@@ -238,6 +240,44 @@ class ShardedMucociliarySim:
             state.f, state.force, state.lasts, state.q, state.it)
         return FlowState(f=f, force=force, lasts=lasts, q=q, it=it)
 
+    def _make_chunk(self, n_steps: int):
+        """One shard_map whose body runs n_steps iterations in a local
+        fori_loop — removes per-step dispatch and lets XLA overlap the
+        halo collectives with compute across iterations."""
+
+        local_step = self._local_step
+
+        def local_chunk(f, force, lasts, q, it):
+            def body(_, carry):
+                return local_step(*carry)
+
+            return jax.lax.fori_loop(
+                0, n_steps, body, (f, force, lasts, q, it))
+
+        return jax.jit(
+            jax.shard_map(
+                local_chunk,
+                mesh=self.mesh,
+                in_specs=self._chunk_specs(),
+                out_specs=self._chunk_specs(),
+                check_vma=False,
+            ),
+            donate_argnums=(0, 1),
+        )
+
+    def _chunk_specs(self):
+        return (P(None, "y", "x"), P(None, "y", "x"), P(), P(), P())
+
+    def run_chunk(self, state: FlowState, n_steps: int) -> FlowState:
+        """n_steps iterations in one compiled sharded loop."""
+        fn = self._chunk_cache.get(n_steps)
+        if fn is None:
+            fn = self._make_chunk(n_steps)
+            self._chunk_cache[n_steps] = fn
+        f, force, lasts, q, it = fn(
+            state.f, state.force, state.lasts, state.q, state.it)
+        return FlowState(f=f, force=force, lasts=lasts, q=q, it=it)
+
     def run(self, state: FlowState, n_steps: int) -> FlowState:
         for _ in range(n_steps):
             state = self.step(state)
@@ -254,7 +294,13 @@ def _collide_rows(f_rows, force_rows, tau, tau2, forcing, storage):
     return ref.trt_collide(f_rows, f0, F, tau, tau2)
 
 
-class ShardedPallasSim(ShardedMucociliarySim):
+class _ShardedPallasChunkMixin:
+    def _chunk_specs(self):
+        # force band is replicated in the pallas local backend
+        return (P(None, "y", "x"), P(), P(), P(), P())
+
+
+class ShardedPallasSim(_ShardedPallasChunkMixin, ShardedMucociliarySim):
     """1-D y-sharded simulation whose per-shard fluid update is the fused
     Pallas collide+stream kernel (ops/pallas_step.make_sharded_fused_substep).
 
@@ -284,6 +330,8 @@ class ShardedPallasSim(ShardedMucociliarySim):
         self._local_substep = make_sharded_fused_substep(
             cfg, self.yl, walls, self.dtype, forcing=forcing,
             storage=self.storage, interpret=interpret)
+        self._local_step = self._step_local_pallas
+        self._chunk_cache = {}
         # rebuild the sharded step with the pallas local path
         self._step_sharded = jax.jit(
             jax.shard_map(
@@ -307,16 +355,14 @@ class ShardedPallasSim(ShardedMucociliarySim):
             it=jax.device_put(st.it, self.replicated()),
         )
 
-    def _step_local_pallas(self, f_loc, force_band, lasts, q, it):
+    def _pallas_fluid(self, f_loc, force_band, q, u_s, eps, anchored):
+        """Fluid + IB + flux for one step given this step's boundary data —
+        the scan body of the chunked path (cilia batched outside)."""
         cfg = self.cfg
         band = cfg.force_band
         iy = jax.lax.axis_index("y")
         n_y = jax.lax.psum(1, "y")
         y0 = iy * self.yl
-
-        pos, vel, lasts_new = self.cilia.kinematics(it, lasts)
-        _, u_s, eps = self.cilia.place_and_mask(pos, vel)
-        anchored = self.cilia.anchored_nodes(pos)
 
         # f1 of the shard's first/last rows (collision is local), then
         # ring-exchange so neighbours can stream across the seam.
@@ -376,6 +422,50 @@ class ShardedPallasSim(ShardedMucociliarySim):
                          fcol_band[jnp.clip(gl, 0, band - 1)], 0.0)
         ux = (mom_col + 0.5 * fcol) / rho_col
         q_new = q + jax.lax.psum(jnp.sum(ux), "y") / 192.0
+        return f_new, force_new.astype(force_band.dtype), q_new
 
-        return (f_new, force_new.astype(force_band.dtype),
-                lasts_new.astype(lasts.dtype), q_new, it + 1)
+    def _step_local_pallas(self, f_loc, force_band, lasts, q, it):
+        pos, vel, lasts_new = self.cilia.kinematics(it, lasts)
+        _, u_s, eps = self.cilia.place_and_mask(pos, vel)
+        anchored = self.cilia.anchored_nodes(pos)
+        f_new, force_new, q_new = self._pallas_fluid(
+            f_loc, force_band, q, u_s, eps, anchored)
+        return (f_new, force_new, lasts_new.astype(lasts.dtype), q_new,
+                it + 1)
+
+    def _make_chunk(self, n_steps: int):
+        """Chunked sharded path: cilia kinematics batched OUTSIDE the scan
+        (mirroring MucociliarySim._run_scan), scan body = fused kernel +
+        halo exchange + IB + flux."""
+        cilia = self.cilia
+
+        def local_chunk(f, force, lasts, q, it):
+            its = it + jnp.arange(n_steps, dtype=jnp.int32)
+            pos = jax.vmap(cilia.positions)(its)
+            vel = jnp.where((its > 0)[:, None, None, None],
+                            jax.vmap(cilia.velocities)(its),
+                            jnp.zeros_like(pos))
+            _, u_s, eps = jax.vmap(cilia.place_and_mask)(pos, vel)
+            anchor, frac = jax.vmap(cilia.anchored_nodes)(pos)
+
+            def body(carry, xs):
+                f, force, q = carry
+                u_k, e_k, a_k, fr_k = xs
+                f, force, q = self._pallas_fluid(
+                    f, force, q, u_k, e_k, (a_k, fr_k))
+                return (f, force, q), None
+
+            (f, force, q), _ = jax.lax.scan(
+                body, (f, force, q), (u_s, eps, anchor, frac))
+            return (f, force, pos[-1].astype(lasts.dtype), q, it + n_steps)
+
+        return jax.jit(
+            jax.shard_map(
+                local_chunk,
+                mesh=self.mesh,
+                in_specs=self._chunk_specs(),
+                out_specs=self._chunk_specs(),
+                check_vma=False,
+            ),
+            donate_argnums=(0, 1),
+        )

@@ -94,3 +94,25 @@ def test_sharded_pallas_rejects_bad_mesh():
         ShardedPallasSim(cfg, make_mesh(2, 2), interpret=True)
     with pytest.raises(ValueError):  # yl < force band
         ShardedPallasSim(cfg, make_mesh(4, 1), interpret=True)
+
+
+@needs_8_devices
+def test_sharded_chunk_equals_steps():
+    s1 = ShardedMucociliarySim(CFG, make_mesh(2, 4))
+    a = s1.run(s1.init_state(), 5)
+    b = s1.run_chunk(s1.init_state(), 5)
+    np.testing.assert_array_equal(np.asarray(a.f), np.asarray(b.f))
+    assert float(a.q) == float(b.q)
+
+
+@needs_8_devices
+def test_sharded_pallas_chunk_equals_steps():
+    from cuda_iblb_11_tpu.parallel.sharded import ShardedPallasSim
+
+    cfg = SimConfig(c_num=4, c_space=48, dtype="float64", storage="raw",
+                    ydim=256)
+    s2 = ShardedPallasSim(cfg, make_mesh(2, 1), interpret=True)
+    a = s2.run(s2.init_state(), 4)
+    b = s2.run_chunk(s2.init_state(), 4)
+    np.testing.assert_array_equal(np.asarray(a.f), np.asarray(b.f))
+    assert float(a.q) == float(b.q)
