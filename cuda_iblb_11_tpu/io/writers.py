@@ -75,11 +75,24 @@ def fmt_3(v) -> str:
 class FluxWriter:
     """Append-only flux series, one row per output interval (main.cu:998-1004)."""
 
-    def __init__(self, path: str, cfg: SimConfig):
+    def __init__(self, path: str, cfg: SimConfig, keep_rows: int | None = None):
+        """keep_rows=None truncates, like ofstream::trunc (main.cu:625).
+        On checkpoint resume pass the number of already-valid leading rows:
+        they are preserved and later rows (written past the checkpoint by the
+        interrupted run) are dropped, so appends continue seamlessly."""
         self.path = path
         self.cfg = cfg
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        open(path, "w").close()  # truncate, like ofstream::trunc (main.cu:625)
+        if keep_rows is None:
+            open(path, "w").close()
+        else:
+            try:
+                with open(path) as fh:
+                    rows = fh.readlines()[:keep_rows]
+            except FileNotFoundError:
+                rows = []
+            with open(path, "w") as fh:
+                fh.writelines(rows)
 
     def append(self, it: int, q: float):
         with open(self.path, "a") as fh:
@@ -152,6 +165,13 @@ class SimLog:
                      else "Running on local GPU\n")
             for k, v in (extra or {}).items():
                 fh.write(f"{k}: {v}\n")
+
+    def write_resume_note(self, it: int):
+        """Appended (not truncating) when a run resumes from a checkpoint, so
+        the original header and history survive."""
+        with open(self.path, "a") as fh:
+            fh.write(f"\nResumed from checkpoint at iteration {it}: "
+                     + time.asctime() + "\n")
 
     def write_completion_estimate(self, predicted_end_epoch: float):
         with open(self.path, "a") as fh:

@@ -535,8 +535,8 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
         walls=walls, storage=storage,
     )
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     out_shape = jax.ShapeDtypeStruct((9, ydim, xdim), dtype)
 
@@ -652,8 +652,8 @@ def make_sharded_fused_substep(cfg, yl: int, walls: WallSpec = REFERENCE_WALLS,
         num_scalar_prefetch=1,
         grid=(n_tiles + 1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # f_loc
-            pl.BlockSpec(memory_space=pltpu.ANY),    # force band (global)
+            pl.BlockSpec(memory_space=pl.ANY),    # f_loc
+            pl.BlockSpec(memory_space=pl.ANY),    # force band (global)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bhalo f1
             pl.BlockSpec(memory_space=pltpu.VMEM),   # thalo f1
         ],

@@ -123,6 +123,16 @@ class ShardedMucociliarySim:
                  forcing: str = "trt_split", pattern: str = "no_mucus",
                  dtype=None):
         cfg.validate()
+        # _local_lb_substep only implements the reference channel's wall
+        # fixups; reject anything else rather than silently simulating it
+        # as fully periodic.
+        if walls.left != "periodic":
+            raise NotImplementedError(
+                "sharded backend requires periodic x walls")
+        if walls.bottom != "noslip" or walls.top not in ("slip", "noslip"):
+            raise NotImplementedError(
+                "sharded backend supports bottom=noslip, top=slip|noslip "
+                f"(got bottom={walls.bottom!r}, top={walls.top!r})")
         self.cfg = cfg
         self.mesh = mesh
         self.walls = walls

@@ -38,19 +38,25 @@ def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
 
     paths = OutputPaths(output_root, cfg)
     paths.makedirs()
-    flux = FluxWriter(paths.flux_path, cfg)
+    interval = max(cfg.interval, 1)
     simlog = SimLog(paths.simlog_path, cfg)
-    simlog.write_header(extra={"Backend": backend, "Forcing": forcing,
-                               "Dtype": str(sim.dtype)})
 
     if resume_from:
         state, _ = ckpt.load(resume_from, cfg)
+        it0 = int(state.it)
+        # Preserve the flux rows already written up to the checkpoint (the
+        # resumed loop rewrites the row at it0 itself iff it0 is an interval
+        # boundary) and append to SimLog instead of truncating it.
+        keep = it0 // interval + (1 if it0 % interval else 0)
+        flux = FluxWriter(paths.flux_path, cfg, keep_rows=keep)
+        simlog.write_resume_note(it0)
         if not quiet:
-            print(f"Resumed from {resume_from} at it={int(state.it)}")
+            print(f"Resumed from {resume_from} at it={it0}")
     else:
         state = sim.init_state()
-
-    interval = max(cfg.interval, 1)
+        flux = FluxWriter(paths.flux_path, cfg)
+        simlog.write_header(extra={"Backend": backend, "Forcing": forcing,
+                                   "Dtype": str(sim.dtype)})
     meter = ThroughputMeter(cells=cfg.size)
     start_epoch = time.time()
     t_start = seconds()
@@ -59,6 +65,7 @@ def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
 
     it = int(state.it)
     first_interval_logged = it > 0
+    last_ckpt = it
     while it < cfg.iterations:
         # Output at the START of each interval boundary, like the reference
         # (it % INTERVAL == 0 inside the loop, main.cu:938).
@@ -106,9 +113,13 @@ def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
                       time.asctime(time.localtime(pred)))
             first_interval_logged = True
 
-        if checkpoint_every and it % checkpoint_every == 0:
+        # "every N iterations" tracked against the last save (the loop only
+        # ever stops on interval boundaries, so a modulo test could miss
+        # every save when N is not a multiple of the interval).
+        if checkpoint_every and it - last_ckpt >= checkpoint_every:
             ckpt.save(os.path.join(paths.raw_dir, "checkpoint.npz"),
                       state, cfg)
+            last_ckpt = it
 
     # Final flux row after the loop (main.cu:1030-1034).
     flux.append(it, float(state.q))

@@ -44,3 +44,38 @@ def test_checkpoint_resume_equivalence(tmp_path):
             resume_from=ck)
     assert b["iterations"] == 400
     np.testing.assert_allclose(a["q_final"], b["q_final"], rtol=1e-6)
+
+
+def test_resume_preserves_flux_series_and_simlog(tmp_path):
+    # Resuming INTO the same output root must keep the flux rows written
+    # before the checkpoint and append to SimLog (ADVICE round 1: run()
+    # used to truncate both).
+    a = run(CFG, output_root=str(tmp_path / "a"), quiet=True)
+    flux_a = np.loadtxt(a["flux_path"])
+
+    # Emulate an interrupted run: same interval (100) but stop at it=200.
+    cfg_half = CFG.replace(i_pow=0.002, p_num=2)
+    run(cfg_half, output_root=str(tmp_path / "b"), quiet=True,
+        checkpoint_every=200)
+    ck = os.path.join(str(tmp_path / "b"), "Raw", "4", "1", "checkpoint.npz")
+    b = run(CFG, output_root=str(tmp_path / "b"), quiet=True,
+            resume_from=ck)
+    flux_b = np.loadtxt(b["flux_path"])
+    assert flux_b.shape == flux_a.shape  # rows 0..200 preserved, rest appended
+    np.testing.assert_allclose(flux_b, flux_a, rtol=1e-5, atol=1e-12)
+    log = open(os.path.join(str(tmp_path / "b"), "Raw", "4", "1",
+                            "SimLog.txt")).read()
+    assert "Size: 192x192" in log          # original header survived
+    assert "Resumed from checkpoint" in log
+
+
+def test_checkpoint_cadence_not_interval_aligned(tmp_path):
+    # checkpoint_every=250 with interval=100: the old `it % every == 0`
+    # test never fired; the steps-since-last-save rule saves at it=300.
+    import cuda_iblb_11_tpu.io.checkpoint as ckpt
+
+    run(CFG, output_root=str(tmp_path), quiet=True, checkpoint_every=250)
+    ck = os.path.join(str(tmp_path), "Raw", "4", "1", "checkpoint.npz")
+    assert os.path.exists(ck)
+    state, _ = ckpt.load(ck, CFG)
+    assert int(state.it) == 300

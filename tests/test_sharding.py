@@ -97,6 +97,24 @@ def test_sharded_pallas_rejects_bad_mesh():
 
 
 @needs_8_devices
+def test_sharded_rejects_unsupported_walls():
+    # The local wall fixups only implement the reference channel; anything
+    # else must fail loudly instead of silently simulating fully periodic.
+    from cuda_iblb_11_tpu.ops.reference import WallSpec
+
+    with pytest.raises(NotImplementedError):
+        ShardedMucociliarySim(
+            CFG, make_mesh(2, 2),
+            walls=WallSpec(bottom="slip", top="slip", left="periodic",
+                           right="periodic"))
+    with pytest.raises(NotImplementedError):
+        ShardedMucociliarySim(
+            CFG, make_mesh(2, 2),
+            walls=WallSpec(bottom="noslip", top="noslip", left="noslip",
+                           right="noslip"))
+
+
+@needs_8_devices
 def test_sharded_chunk_equals_steps():
     s1 = ShardedMucociliarySim(CFG, make_mesh(2, 4))
     a = s1.run(s1.init_state(), 5)
