@@ -4,9 +4,16 @@ fused Pallas collide+stream + IB cilia coupling + cumulative flux).
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "MLUPS", "vs_baseline": N}
 
+The primary mode is float32 with K=8 temporal blocking (K LB steps per HBM
+pass over the force-free rows above the IB band) — bit-exact on TPU against
+the single-step fused kernel, so the f32 accuracy validation (velocity L2
+vs the f64 oracle, tests/test_pallas.py + tests/test_accuracy_horizon.py)
+applies unchanged.
+
 vs_baseline is against the reference's derived throughput of ~0.62 MLUPS
 (SimLog_nom.txt: 100k iterations on 300x200 in 9,636 s — BASELINE.md).
-Diagnostics go to stderr.
+Diagnostics go to stderr, including the single-step kernel rate and a
+MEASURED bf16 fast-mode error (relative velocity L2 vs this f32 run).
 """
 
 from __future__ import annotations
@@ -16,10 +23,29 @@ import sys
 import time
 
 REFERENCE_MLUPS = 0.62
+TEMPORAL_K = 8
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def corrected_velocity_of(sim, state):
+    from cuda_iblb_11_tpu.ops import ib_band
+    from cuda_iblb_11_tpu.ops import reference as ref
+
+    force = ib_band.pad_band(state.force, sim.cfg.ydim)
+    _, u = ref.corrected_velocity(state.f, force, sim.storage)
+    return u
+
+
+def timed_run(sim, steps):
+    state = sim.run_chunk(sim.init_state(), steps)
+    _ = float(state.q)  # value fetch: the only reliable device sync here
+    t0 = time.perf_counter()
+    state = sim.run_chunk(state, steps)
+    _ = float(state.q)
+    return state, time.perf_counter() - t0
 
 
 def main():
@@ -34,45 +60,48 @@ def main():
 
     # 2048^2 grid with a cilia array (c_num*c_space = XDIM).
     cfg = SimConfig(c_num=16, c_space=128, ydim=2048, dtype="float32")
-    sim_backend = "pallas" if backend_kind == "tpu" else "jnp"
-    steps = 500 if backend_kind == "tpu" else 3
+    on_tpu = backend_kind == "tpu"
+    sim_backend = "pallas" if on_tpu else "jnp"
+    steps = 512 if on_tpu else 3
 
     try:
-        sim = MucociliarySim(cfg, backend=sim_backend)
-        state = sim.init_state()
-        # warm up with the SAME step count (n_steps is a static arg: a
-        # different count would compile a second executable inside the
-        # timed region)
-        state = sim.run_chunk(state, steps)
-        _ = float(state.q)  # value fetch: the only reliable device sync here
-
-        t0 = time.perf_counter()
-        state = sim.run_chunk(state, steps)
-        _ = float(state.q)
-        dt = time.perf_counter() - t0
-
+        kw = dict(temporal=TEMPORAL_K) if on_tpu else {}
+        sim = MucociliarySim(cfg, backend=sim_backend, **kw)
+        state, dt = timed_run(sim, steps)
         mlups = cfg.size * steps / dt / 1e6
-        log(f"{steps} steps in {dt:.3f}s  q={float(state.q):.3e}  "
-            f"rho-finite={bool(jnp.isfinite(state.f).all())}")
+        log(f"f32 temporal K={TEMPORAL_K if on_tpu else 1}: {steps} steps "
+            f"in {dt:.3f}s  q={float(state.q):.3e}  "
+            f"finite={bool(jnp.isfinite(state.f).all())}")
 
-        # secondary metric: bf16 deviatoric fast mode (stderr only)
-        if sim_backend == "pallas":
+        if on_tpu:
+            # diagnostics: single-step kernel rate + measured bf16 error
             try:
-                simb = MucociliarySim(cfg.replace(dtype="bfloat16"),
-                                      backend="pallas")
-                stb = simb.run_chunk(simb.init_state(), steps)
-                _ = float(stb.q)
-                t0 = time.perf_counter()
-                stb = simb.run_chunk(stb, steps)
-                _ = float(stb.q)
-                dtb = time.perf_counter() - t0
-                log(f"secondary: bf16 fast mode "
+                s1 = MucociliarySim(cfg, backend="pallas")
+                st1, dt1 = timed_run(s1, steps)
+                log(f"secondary: f32 single-step "
+                    f"{cfg.size * steps / dt1 / 1e6:.0f} MLUPS")
+                u_f32 = corrected_velocity_of(s1, st1)
+            except Exception as e:  # noqa: BLE001
+                log(f"single-step secondary failed: {e!r}")
+                u_f32 = corrected_velocity_of(sim, state)
+            try:
+                cfgb = cfg.replace(dtype="bfloat16")
+                simb = MucociliarySim(cfgb, backend="pallas", temporal=4)
+                stb, dtb = timed_run(simb, steps)
+                u_bf16 = corrected_velocity_of(simb, stb)
+                rel = float(jnp.linalg.norm(u_bf16.astype(jnp.float32)
+                                            - u_f32)
+                            / jnp.linalg.norm(u_f32))
+                log(f"secondary: bf16 temporal K=4 "
                     f"{cfg.size * steps / dtb / 1e6:.0f} MLUPS "
-                    f"(velocity ~1-3% noise; flux <1%)")
+                    f"(measured velocity rel-L2 vs f32 @{steps} steps: "
+                    f"{rel:.2e})")
             except Exception as e:  # noqa: BLE001
                 log(f"bf16 secondary failed: {e!r}")
+
         print(json.dumps({
-            "metric": "MLUPS/chip, 2048x2048 D2Q9 TRT + IB cilia (full step)",
+            "metric": "MLUPS/chip, 2048x2048 D2Q9 TRT + IB cilia "
+                      "(full step, f32)",
             "value": round(mlups, 1),
             "unit": "MLUPS",
             "vs_baseline": round(mlups / REFERENCE_MLUPS, 1),
@@ -80,7 +109,8 @@ def main():
     except Exception as e:  # noqa: BLE001 — always emit the JSON line
         log(f"benchmark failed: {e!r}")
         print(json.dumps({
-            "metric": "MLUPS/chip, 2048x2048 D2Q9 TRT + IB cilia (full step)",
+            "metric": "MLUPS/chip, 2048x2048 D2Q9 TRT + IB cilia "
+                      "(full step, f32)",
             "value": 0.0,
             "unit": "MLUPS",
             "vs_baseline": 0.0,

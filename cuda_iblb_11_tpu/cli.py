@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "exactly but is IB-unstable at default parameters")
     p.add_argument("--dtype", default=None,
                    choices=[None, "float32", "float64"])
+    p.add_argument("--temporal", type=int, default=1, metavar="K",
+                   help="K-step temporal blocking for the pallas backend "
+                        "(K LB steps per HBM pass over the force-free bulk; "
+                        "bit-exact vs single-step; default 1)")
     p.add_argument("--resume", default=None, help="checkpoint .npz to resume")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="write checkpoint.npz every N iterations")
@@ -61,7 +65,7 @@ def main(argv=None) -> int:
     run(cfg, output_root=args.output, backend=args.backend,
         forcing=args.forcing, resume_from=args.resume,
         checkpoint_every=args.checkpoint_every, quiet=args.quiet,
-        profile_dir=args.profile_dir)
+        profile_dir=args.profile_dir, temporal=args.temporal)
     return 0
 
 

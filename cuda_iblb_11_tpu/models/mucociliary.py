@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from cuda_iblb_11_tpu.core.config import SimConfig
+from cuda_iblb_11_tpu.core.lattice import C
 from cuda_iblb_11_tpu.core.state import FlowState, initial_state
 from cuda_iblb_11_tpu.models.cilia import CiliaModel
 from cuda_iblb_11_tpu.ops import ib, ib_band
@@ -44,12 +45,19 @@ class MucociliarySim:
         pattern: str = "no_mucus",
         forcing: str = "trt_split",
         dtype=None,
+        temporal: int = 1,
     ):
         """forcing: "trt_split" (default; TRT-consistent Guo forcing, stable
         at the reference's default parameters) or "reference" (the committed
         CUDA's uniform (1-1/(2 TAU)) prefactor, which amplifies the effective
         IB force ~1.75x and is linearly unstable for dense boundary nodes —
-        see ops/reference.py:guo_forcing and tests/test_stability.py)."""
+        see ops/reference.py:guo_forcing and tests/test_stability.py).
+
+        temporal: K > 1 enables K-step temporal blocking in run_chunk
+        (pallas backend only): the force-free bulk rows above the IB band
+        advance K steps per HBM pass (ops/pallas_step.make_temporal_bulk_
+        substep) while the band region + IB coupling step normally —
+        identical physics, ~K-fold lower HBM traffic on the bulk."""
         cfg.validate()
         self.cfg = cfg
         self.walls = walls
@@ -72,12 +80,44 @@ class MucociliarySim:
             backend = "pallas" if pallas_ok else "jnp"
         self.backend = backend
         self.storage = cfg.storage_resolved
+        self.temporal = int(temporal)
+        if self.temporal > 1 and backend != "pallas":
+            raise ValueError("temporal blocking requires the pallas backend")
         if backend == "pallas":
             from cuda_iblb_11_tpu.ops.pallas_step import make_fused_substep
 
             self._lb_substep = make_fused_substep(
                 cfg, walls, self.dtype, forcing=forcing,
                 storage=self.storage)
+            if self.temporal > 1:
+                from cuda_iblb_11_tpu.ops.pallas_step import (
+                    make_sharded_fused_substep, make_temporal_bulk_substep,
+                )
+
+                band = cfg.force_band
+                if cfg.ydim - band < 16 + self.temporal:
+                    raise ValueError(
+                        "temporal blocking needs ydim well above the force "
+                        f"band (ydim={cfg.ydim}, band={band})")
+                self._band_substep = make_sharded_fused_substep(
+                    cfg, band, walls, self.dtype, forcing=forcing,
+                    storage=self.storage)
+                self._bulk_substep = make_temporal_bulk_substep(
+                    cfg, cfg.ydim - band, self.temporal, walls, self.dtype,
+                    forcing=forcing, storage=self.storage)
+                # Seam slab: 1 bhalo row + K wedge rows, 8-aligned.  The
+                # micro collide kernel keeps the seam f1 bit-identical to
+                # the fused kernels' internal arithmetic (an XLA-side
+                # collide rounds differently and the IB feedback amplifies
+                # the ulp-level seam noise to ~1e-4 over hundreds of steps).
+                from cuda_iblb_11_tpu.ops.pallas_step import (
+                    make_collide_rows_kernel,
+                )
+
+                self._seam_rows = -(-(1 + self.temporal) // 8) * 8
+                self._seam_collide = make_collide_rows_kernel(
+                    cfg, self._seam_rows, self.dtype, forcing=forcing,
+                    storage=self.storage)
         elif backend == "jnp":
             def _substep(f, force_band):
                 force = ib_band.pad_band(force_band, cfg.ydim)
@@ -158,11 +198,107 @@ class MucociliarySim:
                          lasts=pos[-1].astype(self.aux_dtype), q=q,
                          it=state.it + n_steps)
 
+    def _temporal_super_step(self, f_band, f_bulk, force, q, xs):
+        """K fluid+IB steps: the band region (rows [0, force_band)) runs
+        K single sub-steps through the fused band kernel with full IB
+        coupling; the force-free bulk advances K steps in ONE pass of the
+        temporal kernel.  Seam data: the band's top f1 row per sub-step
+        (bhalo, to the bulk) and the bulk's bottom f1 row per sub-step
+        (thalo, to the band) — the latter from a K-row throwaway "wedge"
+        of the bulk bottom evolved in XLA (a standard temporal-blocking
+        ghost trapezoid: row m of the wedge is valid for the first K-m
+        sub-steps, and only row 0 is ever consumed)."""
+        cfg = self.cfg
+        K = self.temporal
+        band = cfg.force_band
+        aux = self.aux_dtype
+        u_s, eps, anchor, frac = xs
+        flags = jnp.array([0, 1, 0], jnp.int32)  # y0=0, bottom wall, no top
+        pad7 = [(0, 0), (0, 7), (0, 0)]
+        zero_bhalo = jnp.zeros((9, 8, cfg.xdim), aux)
+        r_pad = self._seam_rows
+        wedge = f_bulk[:, :K, :].astype(aux)
+        bhalos = []
+        flux_band = jnp.zeros((), aux)
+        for s in range(K):
+            # Seam slab rows: [band-1 (with force), wedge rows band..band+K-1
+            # (force-free), zero padding]; collided by the micro kernel so
+            # the f1 halos match the fused kernels bit-for-bit.
+            f_slab = jnp.concatenate(
+                [f_band[:, band - 1:band].astype(aux), wedge,
+                 jnp.zeros((9, r_pad - 1 - K, cfg.xdim), aux)], axis=1)
+            force_slab = jnp.concatenate(
+                [force[:, band - 1:band].astype(aux),
+                 jnp.zeros((2, r_pad - 1, cfg.xdim), aux)], axis=1)
+            f1_slab = self._seam_collide(f_slab, force_slab)
+            bhalo = f1_slab[:, 0:1, :]
+            f1w = f1_slab[:, 1:1 + K, :]
+            thalo = jnp.pad(f1w[:, 0:1, :], pad7)
+            f_band = self._band_substep(flags, f_band, force, zero_bhalo,
+                                        thalo)
+            # wedge pull-stream: ext row r holds f1 of global row band-1+r
+            ext = jnp.concatenate([bhalo, f1w, f1w[:, K - 1:K, :]], axis=1)
+            wedge = jnp.stack([
+                jnp.roll(ext[d, 1 - int(C[d, 1]):1 - int(C[d, 1]) + K, :],
+                         int(C[d, 0]), axis=-1)
+                for d in range(9)
+            ])
+            anchored = (anchor[s], frac[s])
+            f_s = ib_band.interpolate(f_band, None, u_s[s], band,
+                                      storage=self.storage,
+                                      anchored=anchored)
+            force = ib_band.spread(f_s, None, eps[s], cfg.xdim, band,
+                                   anchored=anchored).astype(force.dtype)
+            flux_band = flux_band + ib.flux_increment(
+                f_band, force, cfg.flux_x, storage=self.storage)
+            bhalos.append(jnp.pad(bhalo, pad7))
+        f_bulk, flux_bulk = self._bulk_substep(f_bulk, jnp.stack(bhalos))
+        q = q + flux_band + jnp.sum(flux_bulk) / 192.0
+        return f_band, f_bulk, force, q
+
+    @partial(jax.jit, static_argnums=(0, 2), donate_argnums=(1,))
+    def _run_scan_temporal(self, state: FlowState, n_steps: int) -> FlowState:
+        """n_steps (a multiple of self.temporal) iterations as
+        n_steps/temporal scanned super-steps over split (band, bulk) state."""
+        cfg = self.cfg
+        K = self.temporal
+        assert n_steps % K == 0
+        n_super = n_steps // K
+        its = state.it + jnp.arange(n_steps, dtype=jnp.int32)
+        pos = jax.vmap(self.cilia.positions)(its)
+        vel = jnp.where((its > 0)[:, None, None, None],
+                        jax.vmap(self.cilia.velocities)(its),
+                        jnp.zeros_like(pos))
+        _, u_s, eps = jax.vmap(self.cilia.place_and_mask)(pos, vel)
+        anchor, frac = jax.vmap(self.cilia.anchored_nodes)(pos)
+
+        def rs(x):
+            return x.reshape((n_super, K) + x.shape[1:])
+
+        band = cfg.force_band
+        f_band = state.f[:, :band]
+        f_bulk = state.f[:, band:]
+
+        def body(carry, xs):
+            return self._temporal_super_step(*carry, xs), None
+
+        (f_band, f_bulk, force, q), _ = jax.lax.scan(
+            body, (f_band, f_bulk, state.force, state.q),
+            (rs(u_s), rs(eps), rs(anchor), rs(frac)))
+        return FlowState(f=jnp.concatenate([f_band, f_bulk], axis=1),
+                         force=force, lasts=pos[-1].astype(self.aux_dtype),
+                         q=q, it=state.it + n_steps)
+
     def run_chunk(self, state: FlowState, n_steps: int) -> FlowState:
         """n_steps iterations inside compiled scan(s)."""
+        K = self.temporal
         while n_steps > 0:
             k = min(n_steps, self._MAX_SCAN)
-            state = self._run_scan(state, k)
+            if K > 1 and k >= K:
+                k -= k % K
+                state = self._run_scan_temporal(state, k)
+            else:
+                state = self._run_scan(state, k)
             n_steps -= k
         return state
 

@@ -605,6 +605,377 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
     return substep
 
 
+def _collide_tile(f, gx, gy, *, tau, tau2, forcing, storage):
+    """Pair-form TRT + Guo collide of nine (r, X) planes (identical
+    arithmetic to the _pipelined_kernel collide phase).  gx=gy=None means
+    zero body force (all source terms drop).  Returns (f1 list, rho, mom_x)
+    — the latter two reused for the flux-column diagnostic."""
+    fsum = f[0] + f[1] + f[2] + f[3] + f[4] + f[5] + f[6] + f[7] + f[8]
+    rho = 1.0 + fsum if storage == "deviatoric" else fsum
+    drho = fsum if storage == "deviatoric" else None
+    mom_x = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
+    mom_y = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
+    inv_rho = 1.0 / rho
+    if gx is None:
+        ux = mom_x * inv_rho
+        uy = mom_y * inv_rho
+    else:
+        ux = (mom_x + 0.5 * gx) * inv_rho
+        uy = (mom_y + 0.5 * gy) * inv_rho
+    u2h = (0.5 / CS2) * (ux * ux + uy * uy)
+    if gx is not None:
+        ug = (1.0 / CS2) * (ux * gx + uy * gy)
+
+    lam_p = 1.0 - 1.0 / (2.0 * tau)
+    lam_m = 1.0 - 1.0 / (2.0 * tau2)
+    lam_odd = lam_p if forcing == "reference" else lam_m
+    omega_p = 1.0 / tau
+    omega_m = 1.0 / tau2
+
+    f1 = [None] * 9
+    # Rest population: BGK with omega+, no forcing (LatticeBoltzmann.cu:86).
+    if storage == "deviatoric":
+        f0_0 = WI[0] * drho - rho * (WI[0] * u2h)
+    else:
+        f0_0 = rho * (WI[0] * (1.0 - u2h))
+    f1[0] = f[0] - omega_p * (f[0] - f0_0)
+    for a, b in ((1, 3), (2, 4), (5, 7), (6, 8)):
+        cx, cy, w = CX[a], CY[a], WI[a]
+        cu = ux if cx == 1 else -ux if cx == -1 else 0.0
+        if cy == 1:
+            cu = cu + uy
+        elif cy == -1:
+            cu = cu - uy
+        if storage == "deviatoric":
+            f0_p = (w * drho + rho * (w * (cu * cu * (0.5 / CS4)))
+                    - (w * rho) * u2h)
+        else:
+            f0_p = (rho * (w * (1.0 + cu * cu * (0.5 / CS4)))
+                    - (w * rho) * u2h)
+        f0_m = (w / CS2) * (rho * cu)
+        f_p = 0.5 * (f[a] + f[b])
+        f_m = 0.5 * (f[a] - f[b])
+        even = omega_p * (f_p - f0_p)
+        odd = omega_m * (f_m - f0_m)
+        if gx is None:
+            f1[a] = f[a] - even - odd
+            f1[b] = f[b] - even + odd
+        else:
+            cg = gx if cx == 1 else -gx if cx == -1 else 0.0
+            if cy == 1:
+                cg = cg + gy
+            elif cy == -1:
+                cg = cg - gy
+            s_even = w * (cu * cg * (1.0 / CS4) - ug)
+            s_odd = (w / CS2) * cg
+            fa = lam_p * s_even + lam_odd * s_odd
+            fb = lam_p * s_even - lam_odd * s_odd
+            f1[a] = f[a] - even - odd + fa
+            f1[b] = f[b] - even + odd + fb
+    return f1, rho, mom_x
+
+
+def make_collide_rows_kernel(cfg, n_rows: int, dtype=jnp.float32,
+                             forcing: str = "trt_split",
+                             storage: str = "raw",
+                             interpret: bool | None = None):
+    """Tiny collide-only kernel for seam row slabs: (f [9,r,X],
+    force [2,r,X]) -> f1 [9,r,X].
+
+    Exists for bit-exactness, not speed: the temporal-blocking seam halos
+    (models/mucociliary._temporal_super_step) must carry f1 values that are
+    bit-identical to what the big fused kernels compute internally, and an
+    XLA-side collide (ops/reference.collide_rows) rounds differently
+    (excess-precision FMA contraction + a different algebraic form), which
+    the stiff IB feedback then amplifies.  This wraps the kernels' own
+    _collide_tile expression tree in a one-tile pallas_call so Mosaic emits
+    the same arithmetic."""
+    dtype = jnp.dtype(dtype)
+    cdt = jnp.dtype(jnp.float32) if dtype.itemsize < 4 else dtype
+    if n_rows % 8:
+        raise ValueError("seam slab rows must be 8-aligned")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    xdim = cfg.xdim
+    tau, tau2 = float(cfg.tau), float(cfg.tau2)
+
+    def kernel(f_ref, fo_ref, out_ref):
+        f = [f_ref[d].astype(cdt) for d in range(9)]
+        gx = fo_ref[0].astype(cdt)
+        gy = fo_ref[1].astype(cdt)
+        f1, _, _ = _collide_tile(f, gx, gy, tau=tau, tau2=tau2,
+                                 forcing=forcing, storage=storage)
+        for d in range(9):
+            out_ref[d] = f1[d].astype(out_ref.dtype)
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9, n_rows, xdim), cdt),
+        interpret=interpret,
+    )
+
+    def collide(f_slab, force_slab):
+        return call(f_slab.astype(cdt), force_slab.astype(cdt))
+
+    return collide
+
+
+def _temporal_kernel(
+    f_hbm, bhalos, out_ref, flux_ref, fsl, rings, sem,
+    *, n_rows, xdim, ty, n_steps, tau, tau2, forcing, walls, storage,
+    flux_lane, cdt, align=8,
+):
+    """K-step temporal-blocking kernel for the force-free bulk region.
+
+    The IB force field is identically zero above the force band
+    (ImmersedBoundary.cu:166-231 only writes cells within the delta support
+    of the cilia, all below row `force_band`), so the rows above it evolve
+    under pure TRT + streaming for K consecutive steps with no external
+    data except the K seam halo rows at the bottom.  One HBM pass therefore
+    advances the bulk K steps: grid step i
+
+      stage 0    collides tile i           (sub-step 1)  -> rings[0]
+      stage s    assembles the streamed tile i-s of sub-step s from
+                 rings[s-1] (seam halo bhalos[s-1] at the bottom tile, top
+                 wall fixup at the top tile), collides it (sub-step s+1)
+                 -> rings[s], and accumulates the flux-column partial
+      stage K    assembles the final streamed tile i-K and writes it out,
+                 accumulating the last sub-step's flux partial
+
+    HBM traffic: read 9 + write 9 planes per K sub-steps (~72.5/K B per
+    cell-update in f32) — K-fold below the single-step kernel's floor.
+
+    Flux: the reference integrates u_x over the column x = XDIM-5 every
+    step (ImmersedBoundary.cu:259-264); the bulk rows' contribution uses
+    the post-stream state of each sub-step (force correction is zero
+    here), accumulated per sub-step into flux_ref[s, 0, 0].
+    """
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0) - n_steps
+    K = n_steps
+
+    colmask = (jax.lax.broadcasted_iota(jnp.int32, (1, xdim), 1)
+               == flux_lane).astype(cdt)
+    onehot = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+               + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1))
+              == 0).astype(jnp.float32)
+
+    def colsum(plane):
+        return jnp.sum(plane * colmask, axis=1, keepdims=True)  # (r, 1)
+
+    def start_dma(t):
+        pltpu.make_async_copy(
+            f_hbm.at[:, pl.ds(pl.multiple_of(t * ty, align), ty), :],
+            fsl.at[t % 2], sem.at[t % 2]).start()
+
+    def wait_dma(t):
+        pltpu.make_async_copy(
+            f_hbm.at[:, pl.ds(pl.multiple_of(t * ty, align), ty), :],
+            fsl.at[t % 2], sem.at[t % 2]).wait()
+
+    @pl.when(i == 0)
+    def _():
+        start_dma(0)
+        flux_ref[...] = jnp.zeros_like(flux_ref)
+
+    @pl.when(i + 1 <= n_tiles - 1)
+    def _():
+        start_dma(i + 1)
+
+    if walls.top == "slip":       # specular: 4<-2, 8<-5, 7<-6
+        top_pairs = ((4, 2), (8, 5), (7, 6))
+    elif walls.top == "noslip":   # bounce-back: 4<-2, 7<-5, 8<-6
+        top_pairs = ((4, 2), (7, 5), (8, 6))
+    else:
+        top_pairs = ()
+
+    def assemble(s, j):
+        """Streamed tile j of sub-step s+1 from rings[s] (+ seam halo at
+        j==0, top wall fixup at j==n_tiles-1).  Returns 9 (ty, X) planes."""
+        rp = (j + 2) % 3
+        rc = j % 3
+        rn = (j + 1) % 3
+        planes = [None] * 9
+        for d in range(9):
+            cx, cy = CX[d], CY[d]
+            if cy == 0:
+                rows = rings[s, rc, d]
+            elif cy == 1:
+                prev = rings[s, rp, d, ty - 1:ty, :]
+                prev = jnp.where(j == 0, bhalos[s, d, 0:1, :].astype(cdt),
+                                 prev)
+                rows = jnp.concatenate(
+                    [prev, rings[s, rc, d, 0:ty - 1, :]], axis=0)
+            else:
+                # top tile: the garbage next-tile row only feeds the last
+                # row of the cy=-1 directions, all overwritten by the top
+                # wall fixup below.
+                nxt = rings[s, rn, d, 0:1, :]
+                rows = jnp.concatenate(
+                    [rings[s, rc, d, 1:ty, :], nxt], axis=0)
+            if cx != 0:
+                rows = jnp.roll(rows, cx, axis=-1)
+            planes[d] = rows
+        is_top = j == n_tiles - 1
+        for dst, src in top_pairs:
+            fixed = rings[s, rc, src, ty - 1:ty, :]
+            planes[dst] = jnp.concatenate(
+                [planes[dst][0:ty - 1, :],
+                 jnp.where(is_top, fixed, planes[dst][ty - 1:ty, :])],
+                axis=0)
+        return planes
+
+    def add_flux(s, rho, mom_x):
+        ux_col = colsum(mom_x) / colsum_rho(rho)
+        flux_ref[s] = flux_ref[s] + jnp.sum(ux_col).astype(
+            jnp.float32) * onehot
+
+    def colsum_rho(rho):
+        return colsum(rho)
+
+    # --- stage 0: collide sub-step 1 of tile i ---------------------------
+    @pl.when(i <= n_tiles - 1)
+    def _():
+        wait_dma(i)
+        f = [fsl[i % 2, d].astype(cdt) for d in range(9)]
+        f1, _, _ = _collide_tile(f, None, None, tau=tau, tau2=tau2,
+                                 forcing=forcing, storage=storage)
+        for d in range(9):
+            rings[0, i % 3, d] = f1[d]
+
+    # --- stages 1..K-1: stream sub-step s, collide sub-step s+1 ----------
+    for s in range(1, K):
+        @pl.when(jnp.logical_and(i - s >= 0, i - s <= n_tiles - 1))
+        def _(s=s):
+            j = i - s
+            g = assemble(s - 1, j)
+            f1, rho, mom_x = _collide_tile(g, None, None, tau=tau, tau2=tau2,
+                                           forcing=forcing, storage=storage)
+            add_flux(s - 1, rho, mom_x)
+            for d in range(9):
+                rings[s, j % 3, d] = f1[d]
+
+    # --- stage K: stream sub-step K -> output + its flux partial ---------
+    @pl.when(i - K >= 0)
+    def _():
+        k = i - K
+        planes = assemble(K - 1, k)
+        fsum_col = colsum(planes[0])
+        momx_col = None
+        for d in range(9):
+            out_ref[d] = planes[d].astype(out_ref.dtype)
+            if d > 0:
+                fsum_col = fsum_col + colsum(planes[d])
+            if CX[d] == 1:
+                c = colsum(planes[d])
+                momx_col = c if momx_col is None else momx_col + c
+            elif CX[d] == -1:
+                momx_col = momx_col - colsum(planes[d])
+        rho_col = 1.0 + fsum_col if storage == "deviatoric" else fsum_col
+        flux_ref[K - 1] = flux_ref[K - 1] + jnp.sum(
+            momx_col / rho_col).astype(jnp.float32) * onehot
+
+
+def make_temporal_bulk_substep(cfg, n_rows: int, n_steps: int,
+                               walls: WallSpec = REFERENCE_WALLS,
+                               dtype=jnp.float32, forcing: str = "trt_split",
+                               storage: str = "raw",
+                               interpret: bool | None = None,
+                               tile_y: int | None = None):
+    """Build the K-step bulk update for rows [force_band, ydim).
+
+    Call signature:  substep(f_bulk, bhalos) -> (f_bulk_new, flux[K])
+
+    f_bulk [9, n_rows, X]; bhalos [K, 9, 8, X] whose row 0 of sub-step s
+    holds the post-collision f1 of global row force_band-1 at that
+    sub-step (the band region's top row, computed by the band leg).
+    flux[s] = sum over bulk rows of u_x at the flux column after sub-step
+    s's streaming (no force correction — the force is zero here).
+    """
+    if walls.left != "periodic":
+        raise NotImplementedError("pallas backend requires periodic x walls")
+    if walls.top not in ("slip", "noslip"):
+        raise NotImplementedError(
+            "temporal bulk kernel supports top=slip|noslip")
+    xdim = cfg.xdim
+    K = int(n_steps)
+    if K < 1:
+        raise ValueError("n_steps must be >= 1")
+    dtype = jnp.dtype(dtype)
+    cdt = jnp.dtype(jnp.float32) if dtype.itemsize < 4 else dtype
+    align = 16 if dtype.itemsize == 2 else 8
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # Largest tile whose (3K+4)-ring VMEM footprint fits.
+    budget = 80 << 20
+    ty = tile_y
+    if ty is None:
+        for cand in (64, 32, 16, 8):
+            if n_rows % cand or n_rows // cand < 2:
+                continue
+            if ((3 * K + 4) * 9 * cand * xdim * cdt.itemsize) <= budget:
+                ty = cand
+                break
+        if ty is None:
+            raise ValueError(
+                f"no tile size fits K={K} temporal kernel for rows={n_rows}")
+    if n_rows % ty:
+        raise ValueError(f"bulk rows {n_rows} not divisible by tile {ty}")
+    n_tiles = n_rows // ty
+    if n_tiles < 2:
+        raise ValueError("temporal bulk kernel needs >= 2 row tiles")
+
+    kernel = functools.partial(
+        _temporal_kernel,
+        n_rows=n_rows, xdim=xdim, ty=ty, n_steps=K,
+        tau=float(cfg.tau), tau2=float(cfg.tau2), forcing=forcing,
+        walls=walls, storage=storage, flux_lane=int(cfg.flux_x),
+        cdt=cdt, align=align,
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_tiles + K,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),     # f_bulk
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bhalos
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (9, ty, xdim),
+                lambda i: (0, jnp.maximum(i - K, 0), 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 8, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, n_rows, xdim), dtype),
+            jax.ShapeDtypeStruct((K, 8, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, ty, xdim), dtype),       # input slots
+            pltpu.VMEM((K, 3, 9, ty, xdim), cdt),      # f1 ring per sub-step
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 << 20),
+        cost_estimate=pl.CostEstimate(
+            flops=int(n_rows * xdim * 200 * K),
+            bytes_accessed=int(18 * n_rows * xdim * dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    def substep(f_bulk, bhalos):
+        f_new, fluxout = call(f_bulk.astype(dtype), bhalos.astype(cdt))
+        return f_new, fluxout[:, 0, 0]
+
+    return substep
+
+
 def make_sharded_fused_substep(cfg, yl: int, walls: WallSpec = REFERENCE_WALLS,
                                dtype=jnp.float32, forcing: str = "trt_split",
                                storage: str = "raw",

@@ -244,6 +244,19 @@ def stream(f1, walls: WallSpec = REFERENCE_WALLS, rho_wall: float = RHO_0):
     return out
 
 
+def collide_rows(f_rows, force_rows, tau, tau2, forcing="trt_split",
+                 storage="raw"):
+    """Collision only (no streaming) on a thin [9, r, X] row slab — used to
+    produce the post-collision (f1) halo rows exchanged between shards
+    (parallel/sharded) and the temporal-blocking seam wedge
+    (models/mucociliary).  Collision is cell-local, so a one-row slab
+    suffices for a halo."""
+    rho, u = corrected_velocity(f_rows, force_rows, storage)
+    f0 = equilibrium(rho, u, storage)
+    F = guo_forcing(u, force_rows, tau, tau2, scheme=forcing)
+    return trt_collide(f_rows, f0, F, tau, tau2)
+
+
 def lb_substep(f, force, tau, tau2, walls: WallSpec = REFERENCE_WALLS,
                forcing: str = "reference", storage: str = "raw"):
     """One full fluid update: equilibrium -> TRT collide -> stream.

@@ -295,13 +295,8 @@ class ShardedMucociliarySim:
 
 
 def _collide_rows(f_rows, force_rows, tau, tau2, forcing, storage):
-    """Collision only (no streaming) on a thin [9, r, X] row slab — used to
-    produce the f1 halo rows exchanged between shards for the Pallas local
-    backend (collision is cell-local, so one row suffices)."""
-    rho, u = ref.corrected_velocity(f_rows, force_rows, storage)
-    f0 = ref.equilibrium(rho, u, storage)
-    F = ref.guo_forcing(u, force_rows, tau, tau2, scheme=forcing)
-    return ref.trt_collide(f_rows, f0, F, tau, tau2)
+    """Alias of ops.reference.collide_rows (kept for callers/tests)."""
+    return ref.collide_rows(f_rows, force_rows, tau, tau2, forcing, storage)
 
 
 class _ShardedPallasChunkMixin:

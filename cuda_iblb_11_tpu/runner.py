@@ -21,14 +21,15 @@ from cuda_iblb_11_tpu.utils.timing import ThroughputMeter, predict_completion, s
 def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
         forcing: str = "trt_split", resume_from: str | None = None,
         checkpoint_every: int = 0, quiet: bool = False,
-        profile_dir: str | None = None) -> dict:
+        profile_dir: str | None = None, temporal: int = 1) -> dict:
     """Execute cfg.iterations steps with interval outputs.
 
     profile_dir: if set, capture a jax.profiler trace of the first interval
     (the reference's only tracing was a wall-clock timer, seconds.cpp).
     Returns a summary dict (runtime, MLUPS, final Q)."""
     cfg.validate()
-    sim = MucociliarySim(cfg, backend=backend, forcing=forcing)
+    sim = MucociliarySim(cfg, backend=backend, forcing=forcing,
+                         temporal=temporal)
     profiling = False
     if profile_dir:
         import jax

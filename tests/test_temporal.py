@@ -1,0 +1,87 @@
+"""Temporal K-step blocking (ops/pallas_step.make_temporal_bulk_substep +
+models/mucociliary temporal mode): K LB steps per HBM pass over the
+force-free bulk rows must reproduce the single-step oracle exactly.
+
+The IB force field is zero above the force band (ImmersedBoundary.cu:166-231
+only writes within the delta support of the cilia), which is what makes the
+bulk force-free — the seam with the band region is the only data exchanged
+per sub-step.  Equivalence here is to f64 round-off in interpret mode; on
+real TPU the path is bit-exact vs the single-step fused kernel (checked by
+the benchmark harness)."""
+
+import jax
+import numpy as np
+import pytest
+
+from cuda_iblb_11_tpu.core.config import SimConfig
+from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
+
+CFG = SimConfig(c_num=4, c_space=48, ydim=256, dtype="float64", storage="raw")
+
+
+@pytest.fixture(scope="module")
+def oracle_16():
+    sim = MucociliarySim(CFG, backend="jnp")
+    st = sim.run_chunk(sim.init_state(), 16)
+    return sim, st
+
+
+@pytest.mark.parametrize("K", [2, 4, 8])
+def test_temporal_matches_oracle(K, oracle_16):
+    _, st_ref = oracle_16
+    tem = MucociliarySim(CFG, backend="pallas", temporal=K)
+    st = tem.run_chunk(tem.init_state(), 16)
+    assert int(st.it) == 16
+    np.testing.assert_allclose(
+        np.asarray(st.f), np.asarray(st_ref.f), rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(
+        np.asarray(st.force), np.asarray(st_ref.force), rtol=1e-10,
+        atol=1e-18)
+    np.testing.assert_allclose(float(st.q), float(st_ref.q), rtol=1e-12)
+
+
+def test_temporal_remainder_steps():
+    # n_steps not a multiple of K: the tail runs through the single-step
+    # scan; totals must still match the oracle.
+    ref = MucociliarySim(CFG, backend="jnp")
+    tem = MucociliarySim(CFG, backend="pallas", temporal=4)
+    a = ref.run_chunk(ref.init_state(), 11)
+    b = tem.run_chunk(tem.init_state(), 11)
+    assert int(b.it) == 11
+    np.testing.assert_allclose(
+        np.asarray(b.f), np.asarray(a.f), rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(float(b.q), float(a.q), rtol=1e-12)
+
+
+def test_temporal_step_api_unchanged():
+    # step() uses the single-step kernel regardless of the temporal setting.
+    tem = MucociliarySim(CFG, backend="pallas", temporal=4)
+    one = MucociliarySim(CFG, backend="pallas")
+    a = tem.step(tem.init_state())
+    b = one.step(one.init_state())
+    np.testing.assert_array_equal(np.asarray(a.f), np.asarray(b.f))
+
+
+def test_temporal_requires_pallas():
+    with pytest.raises(ValueError):
+        MucociliarySim(CFG, backend="jnp", temporal=2)
+
+
+def test_temporal_rejects_shallow_domain():
+    # ydim must leave >= 2 bulk tiles above the 128-row force band.
+    with pytest.raises(ValueError):
+        MucociliarySim(SimConfig(c_num=4, c_space=48, ydim=136,
+                                 dtype="float64", storage="raw"),
+                       backend="pallas", temporal=4)
+
+
+def test_temporal_reference_channel_grid(oracle_16):
+    # The reference's fixed ydim=192 leaves a 64-row bulk: the tile picker
+    # must fall back to 2x32-row tiles instead of one 64-row tile.
+    cfg = CFG.replace(ydim=192)
+    ref = MucociliarySim(cfg, backend="jnp")
+    tem = MucociliarySim(cfg, backend="pallas", temporal=4)
+    a = ref.run_chunk(ref.init_state(), 8)
+    b = tem.run_chunk(tem.init_state(), 8)
+    np.testing.assert_allclose(
+        np.asarray(b.f), np.asarray(a.f), rtol=1e-13, atol=1e-15)
