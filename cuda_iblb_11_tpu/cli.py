@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="K-step temporal blocking for the pallas backend "
                         "(K LB steps per HBM pass over the force-free bulk; "
                         "bit-exact vs single-step; default 1)")
+    p.add_argument("--mesh", default=None, metavar="Y,X",
+                   help="device-mesh shape for multi-chip spatial domain "
+                        "decomposition (e.g. 2,4); halos ride ICI ppermute")
     p.add_argument("--resume", default=None, help="checkpoint .npz to resume")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="write checkpoint.npz every N iterations")
@@ -65,7 +68,8 @@ def main(argv=None) -> int:
     run(cfg, output_root=args.output, backend=args.backend,
         forcing=args.forcing, resume_from=args.resume,
         checkpoint_every=args.checkpoint_every, quiet=args.quiet,
-        profile_dir=args.profile_dir, temporal=args.temporal)
+        profile_dir=args.profile_dir, temporal=args.temporal,
+        mesh=args.mesh)
     return 0
 
 

@@ -47,17 +47,27 @@ def _delta_factors(s, xdim, band, dtype):
     return delta_1d(dy), delta_1d(dx)
 
 
-def _delta_factors_anchored(anchor, frac, xdim, band, dtype):
+def _delta_factors_anchored(anchor, frac, xdim, band, dtype,
+                            x_offset=0, x_count=None,
+                            y_offset=0, y_count=None):
     """Precision-preserving delta factors from the (integer anchor,
     sub-cell fraction) position split (models/cilia.py:anchored_nodes).
 
     The grid-to-anchor distances are exact int32 arithmetic (with an
     integer periodic fold in x); only the |frac| <= 0.5 part touches the
     storage dtype, so the delta argument keeps full precision instead of
-    the XDIM * 2^-24 rounding of absolute f32 coordinates."""
+    the XDIM * 2^-24 rounding of absolute f32 coordinates.
+
+    x_offset/x_count and y_offset/y_count restrict the factor matrices to
+    a (possibly traced-offset) sub-block of the grid — used by the spatial
+    sharding to evaluate only a shard's own columns/rows.  The periodic
+    x fold is always over the GLOBAL xdim."""
+    x_count = xdim if x_count is None else x_count
+    y_count = band if y_count is None else y_count
     half = jnp.int32(xdim // 2)
     xx = jnp.int32(xdim)
-    xg = jnp.arange(xdim, dtype=jnp.int32)[None, :]
+    xg = (jnp.int32(x_offset)
+          + jnp.arange(x_count, dtype=jnp.int32))[None, :]
     v = xg - anchor[:, 0][:, None].astype(jnp.int32)
     # exact integer periodic fold to [-X/2, X/2); |v| < 2X always (the
     # anchor is within one wrap of the domain), so two conditional
@@ -67,7 +77,8 @@ def _delta_factors_anchored(anchor, frac, xdim, band, dtype):
         v = jnp.where(v >= half, v - xx, v)
         v = jnp.where(v < -half, v + xx, v)
     dx = v.astype(dtype) - frac[:, 0][:, None]
-    yg = jnp.arange(band, dtype=jnp.int32)[None, :]
+    yg = (jnp.int32(y_offset)
+          + jnp.arange(y_count, dtype=jnp.int32))[None, :]
     dy = (yg - anchor[:, 1][:, None].astype(jnp.int32)).astype(dtype) \
         - frac[:, 1][:, None]
     return delta_1d(jnp.abs(dy)), delta_1d(jnp.abs(dx))
@@ -121,6 +132,58 @@ def spread(f_s, s, eps, xdim, band=DEFAULT_BAND, anchored=None):
     a = lhs.T[:, None, :] * dy.T[None]                    # [2, band, Ns]
     return jnp.einsum("cyk,kx->cyx", a, dx,
                       preferred_element_type=f_s.dtype)   # [2, band, X]
+
+
+def interpolate_partial(f_loc, xdim, band, y0, x0, n_rows, storage="raw",
+                        anchored=None):
+    """Per-shard partial band-moment integrals for sharded interpolation.
+
+    f_loc [9, yl, xl] is a shard's local block at global offset (y0, x0).
+    Returns i_q_partial [3, Ns] — this shard's contribution to the
+    (rho, mom_x, mom_y) delta integrals, summed over its first n_rows rows
+    (n_rows = min(yl, band) suffices: the delta y-factors are EXACTLY zero
+    above the force band, so shards above it contribute exact zeros).
+    psum the result over the mesh, then finish with finish_interpolate.
+    """
+    if anchored is None:
+        raise ValueError("sharded interpolation requires anchored positions")
+    fb = f_loc[:, :n_rows, :].astype(
+        jnp.promote_types(f_loc.dtype, jnp.float32))
+    rho = jnp.sum(fb, axis=0)
+    if storage == "deviatoric":
+        rho = 1.0 + rho
+    c = jnp.asarray(C, f_loc.dtype)
+    mom = jnp.einsum("iyx,ic->cyx", fb, c)
+    cdt = rho.dtype
+    dy, dx = _delta_factors_anchored(
+        anchored[0], anchored[1], xdim, band, cdt,
+        x_offset=x0, x_count=f_loc.shape[2], y_offset=y0, y_count=n_rows)
+    q = jnp.concatenate([rho[None], mom], axis=0)          # [3, n_rows, xl]
+    t = jnp.einsum("ky,qyx->qkx", dy, q,
+                   preferred_element_type=cdt)              # [3, Ns, xl]
+    return jnp.sum(dx[None] * t, axis=-1)                   # [3, Ns]
+
+
+def finish_interpolate(i_q, u_s):
+    """F_s [Ns, 2] from the psummed delta integrals."""
+    cdt = i_q.dtype
+    return (2.0 * (u_s.astype(cdt).T * i_q[0][None] - i_q[1:])).T
+
+
+def spread_local(f_s, eps, xdim, band, x0, xl, anchored=None):
+    """Shard-local columns of the band force field: [2, band, xl] at global
+    column offset x0.  No reduction needed — every Eulerian cell's force is
+    a sum over ALL Lagrangian points, and each shard evaluates the full
+    point set against its own delta x-factors."""
+    if anchored is None:
+        raise ValueError("sharded spreading requires anchored positions")
+    dy, dx = _delta_factors_anchored(
+        anchored[0], anchored[1], xdim, band, f_s.dtype,
+        x_offset=x0, x_count=xl)
+    lhs = (f_s * eps[:, None].astype(f_s.dtype))          # [Ns, 2]
+    a = lhs.T[:, None, :] * dy.T[None]                    # [2, band, Ns]
+    return jnp.einsum("cyk,kx->cyx", a, dx,
+                      preferred_element_type=f_s.dtype)   # [2, band, xl]
 
 
 def pad_band(force_band, ydim):

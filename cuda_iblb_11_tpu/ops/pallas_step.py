@@ -980,24 +980,29 @@ def make_sharded_fused_substep(cfg, yl: int, walls: WallSpec = REFERENCE_WALLS,
                                dtype=jnp.float32, forcing: str = "trt_split",
                                storage: str = "raw",
                                interpret: bool | None = None,
-                               tile_y: int | None = None):
-    """Per-shard fused substep for a 1-D y-sharded domain (parallel/sharded).
+                               tile_y: int | None = None,
+                               xl: int | None = None):
+    """Per-shard fused substep for a sharded domain (parallel/sharded).
 
-    The local block is [9, yl, X]; the force array holds the GLOBAL band
-    rows [2, band, X] (replicated across shards).  Call signature:
+    The local block is [9, yl, xl] (xl defaults to the full width); the
+    force array holds the GLOBAL band rows x the shard's xl columns
+    [2, band, xl].  Call signature:
 
         substep(flags, f_loc, force_band, bhalo_f1, thalo_f1) -> f_new_loc
 
-    flags = int32 [y0_rows, is_bottom, is_top]; bhalo/thalo are [9, 8, X]
+    flags = int32 [y0_rows, is_bottom, is_top]; bhalo/thalo are [9, 8, xl]
     whose row 0 holds the f1 of the neighbour shard's adjacent row (the
-    caller computes those two rows' collisions in XLA and ring-exchanges
-    them with jax.lax.ppermute).  Walls apply only on the flagged edge
-    shards; non-edge halo rows flow through the pull-form streaming exactly
-    like interior ring rows.
+    caller computes those two rows' collisions and ring-exchanges them
+    with jax.lax.ppermute).  Walls apply only on the flagged edge shards.
+
+    With xl < XDIM the kernel's periodic lane rolls wrap the LOCAL block,
+    which is wrong at the two edge columns; the caller patches those two
+    output columns from the x-neighbours' f1 columns (ShardedPallasSim.
+    _patch_x_seams) — pure data movement, so the fix is exact.
     """
     if walls.left != "periodic":
         raise NotImplementedError("pallas backend requires periodic x walls")
-    xdim = cfg.xdim
+    xdim = int(xl) if xl is not None else cfg.xdim
     dtype = jnp.dtype(dtype)
     cdt = jnp.dtype(jnp.float32) if dtype.itemsize < 4 else dtype
     align = 16 if dtype.itemsize == 2 else 8
@@ -1011,6 +1016,10 @@ def make_sharded_fused_substep(cfg, yl: int, walls: WallSpec = REFERENCE_WALLS,
     n_tiles = yl // ty
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if not interpret and xdim % 128:
+        raise ValueError(
+            f"pallas backend requires local width % 128 == 0 on TPU "
+            f"(got {xdim})")
 
     kernel = functools.partial(
         _pipelined_kernel,

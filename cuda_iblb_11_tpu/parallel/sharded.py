@@ -169,18 +169,10 @@ class ShardedMucociliarySim:
         return NamedSharding(self.mesh, P())
 
     def init_state(self) -> FlowState:
-        st = initial_state(self.cfg, self.dtype)
-        # The sharded path keeps the force field full-size [2, Y, X] (the
+        # This path keeps the force field full-size [2, Y, X] (the
         # single-chip path stores only the nonzero band) so it shards
-        # identically to f for the halo exchange.
-        force = jnp.zeros((2, self.cfg.ydim, self.cfg.xdim), self.dtype)
-        return FlowState(
-            f=jax.device_put(st.f, self.grid_sharding()),
-            force=jax.device_put(force, self.grid_sharding()),
-            lasts=jax.device_put(st.lasts, self.replicated()),
-            q=jax.device_put(st.q, self.replicated()),
-            it=jax.device_put(st.it, self.replicated()),
-        )
+        # identically to f for the halo exchange; place_state pads.
+        return self.place_state(initial_state(self.cfg, self.dtype))
 
     # -- the per-shard step ---------------------------------------------------
 
@@ -250,6 +242,48 @@ class ShardedMucociliarySim:
             state.f, state.force, state.lasts, state.q, state.it)
         return FlowState(f=f, force=force, lasts=lasts, q=q, it=it)
 
+    def _force_sharding(self):
+        return NamedSharding(self.mesh, P(None, "y", "x"))
+
+    def _force_shape(self, force):
+        """Adapt a checkpointed force field to this backend's layout
+        (full [2, Y, X] here; band-only in the pallas subclass)."""
+        from cuda_iblb_11_tpu.ops import ib_band
+
+        if force.shape[1] < self.cfg.ydim:
+            force = ib_band.pad_band(force, self.cfg.ydim)
+        return force
+
+    def place_state(self, state: FlowState) -> FlowState:
+        """device_put a (host or single-device) FlowState onto the mesh —
+        used when resuming a checkpoint into a sharded run."""
+        return FlowState(
+            f=jax.device_put(state.f, self.grid_sharding()),
+            force=jax.device_put(self._force_shape(state.force),
+                                 self._force_sharding()),
+            lasts=jax.device_put(state.lasts, self.replicated()),
+            q=jax.device_put(state.q, self.replicated()),
+            it=jax.device_put(state.it, self.replicated()),
+        )
+
+    def fields(self, state: FlowState):
+        """(rho, u_corrected) for snapshots (main.cu:944-971 semantics)."""
+        from cuda_iblb_11_tpu.ops import ib_band
+
+        force = state.force
+        if force.shape[1] < self.cfg.ydim:
+            force = ib_band.pad_band(force, self.cfg.ydim)
+        return ref.corrected_velocity(state.f, force[:, :self.cfg.ydim],
+                                      self.storage)
+
+    def boundary_fields(self, state: FlowState):
+        """(s, u_s, eps) of the last completed step, for cilia snapshots."""
+        it_prev = state.it - 1
+        pos = self.cilia.positions(it_prev)
+        pos_before = self.cilia.positions(jnp.maximum(it_prev - 1, 0))
+        vel = jnp.where(it_prev > 0, pos - pos_before, jnp.zeros_like(pos))
+        return self.cilia.place_and_mask(pos, vel)
+
     def _make_chunk(self, n_steps: int):
         """One shard_map whose body runs n_steps iterations in a local
         fori_loop — removes per-step dispatch and lets XLA overlap the
@@ -301,40 +335,47 @@ def _collide_rows(f_rows, force_rows, tau, tau2, forcing, storage):
 
 class _ShardedPallasChunkMixin:
     def _chunk_specs(self):
-        # force band is replicated in the pallas local backend
-        return (P(None, "y", "x"), P(), P(), P(), P())
+        # force holds global band rows x the shard's own columns
+        return (P(None, "y", "x"), P(None, None, "x"), P(), P(), P())
 
 
 class ShardedPallasSim(_ShardedPallasChunkMixin, ShardedMucociliarySim):
-    """1-D y-sharded simulation whose per-shard fluid update is the fused
-    Pallas collide+stream kernel (ops/pallas_step.make_sharded_fused_substep).
+    """2-D (y, x)-sharded simulation whose per-shard fluid update is the
+    fused Pallas collide+stream kernel (ops/pallas_step.
+    make_sharded_fused_substep) — the BASELINE config-5 scale-out path.
 
-    Per step and shard: the two boundary rows' post-collision distributions
-    are computed in XLA and ring-exchanged over ICI (`ppermute`), then the
-    kernel streams the local block pulling those halo f1 rows at the shard
-    seams.  The IB force band is replicated (it is small and must be read by
-    the band-owning shard's kernel tiles); requires n_x == 1,
-    yl >= cfg.force_band and yl % tile == 0.
+    Per step and shard:
+      1. the four edge lines' post-collision (f1) values are computed in
+         XLA (collision is cell-local, ops/reference.collide_rows) and
+         ring-exchanged with the four neighbours (`jax.lax.ppermute` over
+         ICI); the N/S row payloads are extended with the already-received
+         E/W corner cells (two-phase halo exchange), covering diagonal
+         pulls;
+      2. the kernel streams the local block, pulling the halo f1 rows at
+         the y seams; its periodic lane rolls wrap the LOCAL block, which
+         is wrong at the two edge columns when n_x > 1, so those two
+         output columns are re-pulled in XLA from the exchanged f1
+         columns (_patch_x_seams — pure data movement, exact);
+      3. IB coupling scales with the mesh: each shard reduces partial
+         band-moment delta integrals over its own sub-block (contributions
+         are EXACTLY zero above the force band) and a psum replicates the
+         Lagrangian forces F_s; spreading fills only the shard's own force
+         columns [2, band, xl]; the flux integral is a masked column sum
+         + psum (ImmersedBoundary.cu:259-264 semantics).
     """
 
     def __init__(self, cfg: SimConfig, mesh: Mesh,
                  walls: ref.WallSpec = ref.REFERENCE_WALLS,
                  forcing: str = "trt_split", pattern: str = "no_mucus",
                  dtype=None, interpret=None):
-        if mesh.devices.shape[1] != 1:
-            raise ValueError("ShardedPallasSim requires an (n_y, 1) mesh")
         super().__init__(cfg, mesh, walls, forcing, pattern, dtype)
-        if self.yl < cfg.force_band:
-            raise ValueError(
-                f"local rows {self.yl} must cover the force band "
-                f"{cfg.force_band} (use fewer y-shards)")
         from cuda_iblb_11_tpu.ops.pallas_step import (
             make_sharded_fused_substep,
         )
 
         self._local_substep = make_sharded_fused_substep(
             cfg, self.yl, walls, self.dtype, forcing=forcing,
-            storage=self.storage, interpret=interpret)
+            storage=self.storage, interpret=interpret, xl=self.xl)
         self._local_step = self._step_local_pallas
         self._chunk_cache = {}
         # rebuild the sharded step with the pallas local path
@@ -342,8 +383,8 @@ class ShardedPallasSim(_ShardedPallasChunkMixin, ShardedMucociliarySim):
             jax.shard_map(
                 self._step_local_pallas,
                 mesh=mesh,
-                in_specs=(P(None, "y", "x"), P(), P(), P(), P()),
-                out_specs=(P(None, "y", "x"), P(), P(), P(), P()),
+                in_specs=self._chunk_specs(),
+                out_specs=self._chunk_specs(),
                 # pallas_call outputs carry no varying-mesh-axes metadata
                 check_vma=False,
             ),
@@ -352,89 +393,154 @@ class ShardedPallasSim(_ShardedPallasChunkMixin, ShardedMucociliarySim):
 
     def init_state(self) -> FlowState:
         st = initial_state(self.cfg, self.dtype)  # band force, f by storage
-        return FlowState(
-            f=jax.device_put(st.f, self.grid_sharding()),
-            force=jax.device_put(st.force, self.replicated()),
-            lasts=jax.device_put(st.lasts, self.replicated()),
-            q=jax.device_put(st.q, self.replicated()),
-            it=jax.device_put(st.it, self.replicated()),
-        )
+        return self.place_state(st)
 
-    def _pallas_fluid(self, f_loc, force_band, q, u_s, eps, anchored):
+    def _force_sharding(self):
+        return NamedSharding(self.mesh, P(None, None, "x"))
+
+    def _force_shape(self, force):
+        band = self.cfg.force_band
+        return force[:, :band, :]
+
+    # -- seam helpers -------------------------------------------------------
+
+    def _band_force_rows(self, force_loc, g0, count, lane=None):
+        """Force values for global rows [g0, g0+count) (zero above the
+        band) at the shard's local columns (or one column `lane`)."""
+        band = self.cfg.force_band
+        idx = g0 + jnp.arange(count, dtype=jnp.int32)
+        src = (force_loc if lane is None
+               else jax.lax.dynamic_slice_in_dim(force_loc, lane, 1, axis=2))
+        rows = src[:, jnp.clip(idx, 0, band - 1), :]
+        return jnp.where((idx < band)[None, :, None], rows,
+                         jnp.zeros_like(rows))
+
+    def _patch_x_seams(self, f_new, w_ext, e_ext, is_bottom, is_top):
+        """Re-pull the two edge output columns from the x-neighbours' f1
+        columns (extended with the diagonal corners).  Rows owned by a
+        wall fixup keep the kernel's value."""
+        yl, xl = self.yl, self.xl
+        rows = jnp.arange(yl)
+        walls = self.walls
+        for d, ext, lane in ((1, w_ext, 0), (5, w_ext, 0), (8, w_ext, 0),
+                             (3, e_ext, xl - 1), (6, e_ext, xl - 1),
+                             (7, e_ext, xl - 1)):
+            cy = int(C[d, 1])
+            col = ext[d, 1 - cy:1 - cy + yl, 0]
+            if d in (5, 6) and walls.bottom == "noslip":
+                protect = is_bottom & (rows == 0)
+            elif d in (7, 8) and walls.top in ("slip", "noslip"):
+                protect = is_top & (rows == yl - 1)
+            else:
+                protect = jnp.zeros((yl,), bool)
+            f_new = f_new.at[d, :, lane].set(
+                jnp.where(protect, f_new[d, :, lane],
+                          col.astype(f_new.dtype)))
+        return f_new
+
+    # -- the per-shard fluid + IB + flux step --------------------------------
+
+    def _pallas_fluid(self, f_loc, force_loc, q, u_s, eps, anchored):
         """Fluid + IB + flux for one step given this step's boundary data —
         the scan body of the chunked path (cilia batched outside)."""
         cfg = self.cfg
         band = cfg.force_band
+        yl, xl = self.yl, self.xl
+        n_y, n_x = self.n_y, self.n_x
         iy = jax.lax.axis_index("y")
-        n_y = jax.lax.psum(1, "y")
-        y0 = iy * self.yl
-
-        # f1 of the shard's first/last rows (collision is local), then
-        # ring-exchange so neighbours can stream across the seam.
+        ix = jax.lax.axis_index("x")
+        y0 = iy * yl
+        x0 = ix * xl
         aux = self.dtype if self.dtype.itemsize >= 4 else jnp.float32
+        tau, tau2 = cfg.tau, cfg.tau2
 
-        def force_row(g):
-            g = g.astype(jnp.int32)
-            zero = jnp.int32(0)
-            row = jax.lax.dynamic_slice(
-                force_band, (zero, jnp.clip(g, 0, band - 1), zero),
-                (2, 1, cfg.xdim))
-            return jnp.where(g < band, row, jnp.zeros_like(row))
+        def collide(rows_f, rows_force):
+            return ref.collide_rows(rows_f.astype(aux),
+                                    rows_force.astype(aux), tau, tau2,
+                                    self.forcing, self.storage)
 
-        first = f_loc[:, 0:1, :].astype(aux)
-        last = f_loc[:, self.yl - 1:self.yl, :].astype(aux)
-        f1_first = _collide_rows(first, force_row(y0), cfg.tau, cfg.tau2,
-                                 self.forcing, self.storage)
-        f1_last = _collide_rows(last, force_row(y0 + self.yl - 1), cfg.tau,
-                                cfg.tau2, self.forcing, self.storage)
-        fwd = [(k, (k + 1) % self.n_y) for k in range(self.n_y)]
-        bwd = [(k, (k - 1) % self.n_y) for k in range(self.n_y)]
-        bhalo = jax.lax.ppermute(f1_last, "y", fwd)   # from shard iy-1
-        thalo = jax.lax.ppermute(f1_first, "y", bwd)  # from shard iy+1
+        # --- edge-line f1 + two-phase halo exchange -----------------------
+        f1_bot = collide(f_loc[:, 0:1, :],
+                         self._band_force_rows(force_loc, y0, 1))
+        f1_top = collide(f_loc[:, yl - 1:yl, :],
+                         self._band_force_rows(force_loc, y0 + yl - 1, 1))
+        if n_x > 1:
+            fc_col = self._band_force_rows(force_loc, y0, yl, lane=0)
+            f1_w = collide(f_loc[:, :, 0:1], fc_col)
+            fc_col_e = self._band_force_rows(force_loc, y0, yl, lane=xl - 1)
+            f1_e = collide(f_loc[:, :, xl - 1:xl], fc_col_e)
+            fwd_x = [(k, (k + 1) % n_x) for k in range(n_x)]
+            bwd_x = [(k, (k - 1) % n_x) for k in range(n_x)]
+            w_halo = jax.lax.ppermute(f1_e, "x", fwd_x)  # from shard ix-1
+            e_halo = jax.lax.ppermute(f1_w, "x", bwd_x)  # from shard ix+1
+            ext_top = jnp.concatenate(
+                [w_halo[:, yl - 1:yl, :], f1_top, e_halo[:, yl - 1:yl, :]],
+                axis=2)
+            ext_bot = jnp.concatenate(
+                [w_halo[:, 0:1, :], f1_bot, e_halo[:, 0:1, :]], axis=2)
+        else:
+            ext_top, ext_bot = f1_top, f1_bot
+        fwd_y = [(k, (k + 1) % n_y) for k in range(n_y)]
+        bwd_y = [(k, (k - 1) % n_y) for k in range(n_y)]
+        bhalo_ext = jax.lax.ppermute(ext_top, "y", fwd_y)  # row y0-1
+        thalo_ext = jax.lax.ppermute(ext_bot, "y", bwd_y)  # row y0+yl
+        if n_x > 1:
+            bhalo_c = bhalo_ext[:, :, 1:1 + xl]
+            thalo_c = thalo_ext[:, :, 1:1 + xl]
+        else:
+            bhalo_c, thalo_c = bhalo_ext, thalo_ext
         pad = [(0, 0), (0, 7), (0, 0)]
-        bhalo = jnp.pad(bhalo, pad)
-        thalo = jnp.pad(thalo, pad)
-
         flags = jnp.stack(
             [y0, (iy == 0).astype(jnp.int32),
              (iy == n_y - 1).astype(jnp.int32)]).astype(jnp.int32)
-        f_new = self._local_substep(flags, f_loc, force_band, bhalo, thalo)
+        f_new = self._local_substep(flags, f_loc, force_loc,
+                                    jnp.pad(bhalo_c, pad),
+                                    jnp.pad(thalo_c, pad))
+        if n_x > 1:
+            w_ext = jnp.concatenate(
+                [bhalo_ext[:, :, 0:1], w_halo, thalo_ext[:, :, 0:1]],
+                axis=1)
+            e_ext = jnp.concatenate(
+                [bhalo_ext[:, :, xl + 1:xl + 2], e_halo,
+                 thalo_ext[:, :, xl + 1:xl + 2]], axis=1)
+            f_new = self._patch_x_seams(f_new, w_ext, e_ext,
+                                        iy == 0, iy == n_y - 1)
 
-        # IB: the band lives entirely on shard 0 (yl >= band); every shard
-        # evaluates the same band matmuls, only shard 0's input is the real
-        # band -> mask + psum replicates F_s, then spreading is replicated.
+        # --- IB: partial band-moment integrals + psum ---------------------
         from cuda_iblb_11_tpu.ops import ib_band
 
-        f_s_local = ib_band.interpolate(
-            f_new, None, u_s, band, storage=self.storage, anchored=anchored)
-        f_s = jax.lax.psum(
-            jnp.where(iy == 0, f_s_local, jnp.zeros_like(f_s_local)), "y")
-        force_new = ib_band.spread(f_s, None, eps, cfg.xdim, band,
-                                   anchored=anchored)
+        i_q = ib_band.interpolate_partial(
+            f_new, cfg.xdim, band, y0, x0, min(yl, band),
+            storage=self.storage, anchored=anchored)
+        i_q = jax.lax.psum(jax.lax.psum(i_q, "x"), "y")
+        f_s = ib_band.finish_interpolate(i_q, u_s.astype(i_q.dtype))
+        force_new = ib_band.spread_local(
+            f_s, eps, cfg.xdim, band, x0, xl, anchored=anchored)
 
-        # flux: local rows of the column + global band force rows
+        # --- flux: masked local column + psum (cumulative Q) --------------
         fx = cfg.flux_x
+        col_owned = (fx >= x0) & (fx < x0 + xl)
+        lane = jnp.clip(fx - x0, 0, xl - 1)
         cdt = jnp.promote_types(f_new.dtype, jnp.float32)
-        col_f = f_new[:, :, fx].astype(cdt)
+        col_f = f_new[:, :, lane].astype(cdt)
         rho_col = jnp.sum(col_f, axis=0)
         if self.storage == "deviatoric":
             rho_col = 1.0 + rho_col
         cxv = jnp.asarray(C[:, 0], cdt)
         mom_col = jnp.einsum("iy,i->y", col_f, cxv)
-        gl = y0 + jnp.arange(self.yl, dtype=jnp.int32)
-        fcol_band = force_new[0, :, fx].astype(cdt)
-        fcol = jnp.where(gl < band,
-                         fcol_band[jnp.clip(gl, 0, band - 1)], 0.0)
+        fcol = self._band_force_rows(
+            force_new.astype(cdt), y0, yl, lane=lane)[0, :, 0]
         ux = (mom_col + 0.5 * fcol) / rho_col
-        q_new = q + jax.lax.psum(jnp.sum(ux), "y") / 192.0
-        return f_new, force_new.astype(force_band.dtype), q_new
+        contrib = jnp.where(col_owned, jnp.sum(ux), 0.0)
+        q_new = q + jax.lax.psum(jax.lax.psum(contrib, "x"), "y") / 192.0
+        return f_new, force_new.astype(force_loc.dtype), q_new
 
-    def _step_local_pallas(self, f_loc, force_band, lasts, q, it):
+    def _step_local_pallas(self, f_loc, force_loc, lasts, q, it):
         pos, vel, lasts_new = self.cilia.kinematics(it, lasts)
         _, u_s, eps = self.cilia.place_and_mask(pos, vel)
         anchored = self.cilia.anchored_nodes(pos)
         f_new, force_new, q_new = self._pallas_fluid(
-            f_loc, force_band, q, u_s, eps, anchored)
+            f_loc, force_loc, q, u_s, eps, anchored)
         return (f_new, force_new, lasts_new.astype(lasts.dtype), q_new,
                 it + 1)
 

@@ -18,18 +18,43 @@ from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
 from cuda_iblb_11_tpu.utils.timing import ThroughputMeter, predict_completion, seconds
 
 
+def _make_sim(cfg, backend, forcing, temporal, mesh):
+    """Build the simulation: single-device MucociliarySim, or a sharded sim
+    over a (Y, X) device mesh when `mesh` is given (e.g. "2,4")."""
+    if not mesh:
+        return MucociliarySim(cfg, backend=backend, forcing=forcing,
+                              temporal=temporal)
+    import jax
+
+    from cuda_iblb_11_tpu.parallel.sharded import (
+        ShardedMucociliarySim, ShardedPallasSim, make_mesh,
+    )
+
+    parts = [int(v) for v in str(mesh).split(",")]
+    if len(parts) != 2 or min(parts) < 1:
+        raise ValueError(f"--mesh must be 'Y,X' positive ints, got {mesh!r}")
+    m = make_mesh(*parts)
+    xl = cfg.xdim // parts[1]
+    pallas_ok = (jax.default_backend() == "tpu" and xl % 128 == 0
+                 and cfg.ydim % (8 * parts[0]) == 0)
+    if backend == "pallas" or (backend == "auto" and pallas_ok):
+        return ShardedPallasSim(cfg, m, forcing=forcing)
+    return ShardedMucociliarySim(cfg, m, forcing=forcing)
+
+
 def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
         forcing: str = "trt_split", resume_from: str | None = None,
         checkpoint_every: int = 0, quiet: bool = False,
-        profile_dir: str | None = None, temporal: int = 1) -> dict:
+        profile_dir: str | None = None, temporal: int = 1,
+        mesh: str | None = None) -> dict:
     """Execute cfg.iterations steps with interval outputs.
 
     profile_dir: if set, capture a jax.profiler trace of the first interval
     (the reference's only tracing was a wall-clock timer, seconds.cpp).
+    mesh: "Y,X" device-mesh shape for multi-chip spatial sharding.
     Returns a summary dict (runtime, MLUPS, final Q)."""
     cfg.validate()
-    sim = MucociliarySim(cfg, backend=backend, forcing=forcing,
-                         temporal=temporal)
+    sim = _make_sim(cfg, backend, forcing, temporal, mesh)
     profiling = False
     if profile_dir:
         import jax
@@ -41,9 +66,15 @@ def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
     paths.makedirs()
     interval = max(cfg.interval, 1)
     simlog = SimLog(paths.simlog_path, cfg)
+    extra = {"Backend": backend, "Forcing": forcing,
+             "Dtype": str(sim.dtype)}
+    if mesh:
+        extra["Mesh"] = mesh
 
     if resume_from:
         state, _ = ckpt.load(resume_from, cfg)
+        if mesh:
+            state = sim.place_state(state)  # re-shard onto the mesh
         it0 = int(state.it)
         # Preserve the flux rows already written up to the checkpoint (the
         # resumed loop rewrites the row at it0 itself iff it0 is an interval
@@ -56,8 +87,7 @@ def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
     else:
         state = sim.init_state()
         flux = FluxWriter(paths.flux_path, cfg)
-        simlog.write_header(extra={"Backend": backend, "Forcing": forcing,
-                                   "Dtype": str(sim.dtype)})
+        simlog.write_header(extra=extra)
     meter = ThroughputMeter(cells=cfg.size)
     start_epoch = time.time()
     t_start = seconds()

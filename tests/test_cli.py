@@ -16,6 +16,53 @@ def test_cli_runs_and_writes_outputs(tmp_path):
     assert (tmp_path / "Raw" / "4" / "1" / "SimLog.txt").exists()
 
 
+def test_cli_mesh_flux_matches_single_device(tmp_path):
+    # Multi-chip CLI (BASELINE config 5 wiring): an end-to-end --mesh 2,4
+    # run on the 8-device CPU mesh must write a flux.dat identical to the
+    # single-device run (f64 so the 6-sig-digit formatting can't waver).
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    args = ["1", "4", "48", "1.0", "1.0", "5", "0.002", "2", "0", "0",
+            "--quiet", "--dtype", "float64"]
+    assert main(args + ["--output", str(tmp_path / "single")]) == 0
+    assert main(args + ["--output", str(tmp_path / "mesh"),
+                        "--mesh", "2,4"]) == 0
+    a = (tmp_path / "single" / "Flux" / "1_4_48_1_1x5-flux.dat").read_text()
+    b = (tmp_path / "mesh" / "Flux" / "1_4_48_1_1x5-flux.dat").read_text()
+    assert a == b
+    log = (tmp_path / "mesh" / "Raw" / "4" / "1" / "SimLog.txt").read_text()
+    assert "Mesh: 2,4" in log
+
+
+def test_cli_mesh_resume_from_single_device_checkpoint(tmp_path):
+    # Sharded-aware checkpointing: a single-device checkpoint resumes onto
+    # a device mesh (place_state re-device_puts onto the mesh).
+    import os
+
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    args = ["1", "4", "48", "1.0", "1.0", "5", "0.002", "2", "0", "0",
+            "--quiet", "--dtype", "float64"]
+    assert main(args + ["--output", str(tmp_path / "a"),
+                        "--checkpoint-every", "100"]) == 0
+    ck = os.path.join(str(tmp_path / "a"), "Raw", "4", "1", "checkpoint.npz")
+    full = ["1", "4", "48", "1.0", "1.0", "5", "0.004", "4", "0", "0",
+            "--quiet", "--dtype", "float64"]
+    assert main(full + ["--output", str(tmp_path / "m"), "--mesh", "2,4",
+                        "--resume", ck]) == 0
+    assert main(full + ["--output", str(tmp_path / "s")]) == 0
+    a = np.loadtxt(tmp_path / "m" / "Flux" / "1_4_48_1_1x5-flux.dat")
+    b = np.loadtxt(tmp_path / "s" / "Flux" / "1_4_48_1_1x5-flux.dat")
+    # resumed-mesh rows cover it >= 200 only; compare the overlap
+    np.testing.assert_allclose(a[-3:], b[-3:], rtol=1e-9)
+
+
 def test_cli_too_few_args():
     assert main(["1", "2", "3"]) == 1
 

@@ -86,14 +86,54 @@ def test_sharded_pallas_local_backend():
 
 
 @needs_8_devices
+@pytest.mark.parametrize("n_y,n_x", [(2, 2), (2, 4), (4, 2)])
+def test_sharded_pallas_2d_mesh(n_y, n_x):
+    # Round-2 generalization: 2-D meshes (x-seam columns re-pulled from the
+    # exchanged f1 columns) and yl < force_band (per-shard partial band
+    # moments + psum) must both match the unsharded oracle.
+    from cuda_iblb_11_tpu.parallel.sharded import ShardedPallasSim
+
+    cfg = SimConfig(c_num=4, c_space=48, dtype="float64", storage="raw",
+                    ydim=256)
+    usim = MucociliarySim(cfg, backend="jnp")
+    ssim = ShardedPallasSim(cfg, make_mesh(n_y, n_x), interpret=True)
+    ust = usim.init_state()
+    sst = ssim.init_state()
+    for _ in range(4):
+        ust = usim.step(ust)
+        sst = ssim.step(sst)
+    np.testing.assert_allclose(
+        np.asarray(sst.f), np.asarray(ust.f), rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(sst.force), np.asarray(ust.force), rtol=1e-9, atol=1e-16)
+    np.testing.assert_allclose(float(sst.q), float(ust.q), rtol=1e-10)
+
+
+@needs_8_devices
+def test_sharded_pallas_thin_shards():
+    # yl = 32 << force_band = 128: four y-shards inside the band.
+    from cuda_iblb_11_tpu.parallel.sharded import ShardedPallasSim
+
+    cfg = SimConfig(c_num=4, c_space=48, dtype="float64", storage="raw",
+                    ydim=256)
+    usim = MucociliarySim(cfg, backend="jnp")
+    ssim = ShardedPallasSim(cfg, make_mesh(8, 1), interpret=True)
+    ust = usim.init_state()
+    sst = ssim.init_state()
+    for _ in range(3):
+        ust = usim.step(ust)
+        sst = ssim.step(sst)
+    np.testing.assert_allclose(
+        np.asarray(sst.f), np.asarray(ust.f), rtol=1e-12, atol=1e-14)
+
+
+@needs_8_devices
 def test_sharded_pallas_rejects_bad_mesh():
     from cuda_iblb_11_tpu.parallel.sharded import ShardedPallasSim
 
     cfg = SimConfig(c_num=4, c_space=48, dtype="float64", ydim=256)
-    with pytest.raises(ValueError):
-        ShardedPallasSim(cfg, make_mesh(2, 2), interpret=True)
-    with pytest.raises(ValueError):  # yl < force band
-        ShardedPallasSim(cfg, make_mesh(4, 1), interpret=True)
+    with pytest.raises(ValueError):  # 256 rows not divisible by 3 shards
+        ShardedPallasSim(cfg, make_mesh(3, 1), interpret=True)
 
 
 @needs_8_devices
