@@ -1,0 +1,66 @@
+"""Long-horizon precision gates (BASELINE accuracy axis, CI-enforced).
+
+Measured f32-vs-f64 velocity rel-L2 on the reference channel (192^2,
+4 cilia, trt_split, deviatoric f32 storage) grows ~linearly at ~1e-8/step:
+6.7e-6 @ 500 steps, 1.7e-5 @ 2000, 3.8e-5 @ 4000 (CPU, 2026-08-16).  The
+<1e-5 BASELINE bound therefore holds at the 512-step benchmark horizon —
+and the 8,370-MLUPS temporal-K8 mode is BIT-EXACT vs this single-step f32
+path on TPU (tests/test_temporal.py + bench harness), so the bound applies
+to the headline mode.  This test enforces both measured envelopes so a
+precision regression (e.g. losing the deviatoric storage or the anchored
+delta split) fails CI rather than silently eroding the claim.
+
+bf16 fast mode: measured ~1e-2 velocity noise (bench.py reports the live
+number); the loose bound here documents its magnitude.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_iblb_11_tpu.core.config import SimConfig
+from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
+from cuda_iblb_11_tpu.ops import ib_band
+from cuda_iblb_11_tpu.ops import reference as ref
+
+CFG64 = SimConfig(c_num=4, c_space=48, dtype="float64", storage="raw")
+
+
+def _velocity(sim, st):
+    force = ib_band.pad_band(st.force, sim.cfg.ydim)
+    _, u = ref.corrected_velocity(st.f.astype(jnp.float64),
+                                  force.astype(jnp.float64), sim.storage)
+    return u
+
+
+def _rel_l2(u, u_ref):
+    return float(jnp.linalg.norm(u - u_ref) / jnp.linalg.norm(u_ref))
+
+
+def test_f32_velocity_error_500_and_2000_steps():
+    s64 = MucociliarySim(CFG64, backend="jnp")
+    s32 = MucociliarySim(CFG64.replace(dtype="float32", storage="auto"),
+                         backend="jnp")
+    st64, st32 = s64.init_state(), s32.init_state()
+
+    st64 = s64.run_chunk(st64, 500)
+    st32 = s32.run_chunk(st32, 500)
+    l2_500 = _rel_l2(_velocity(s32, st32), _velocity(s64, st64))
+    assert l2_500 < 1.0e-5, l2_500  # the BASELINE bound at bench horizon
+
+    st64 = s64.run_chunk(st64, 1500)
+    st32 = s32.run_chunk(st32, 1500)
+    l2_2000 = _rel_l2(_velocity(s32, st32), _velocity(s64, st64))
+    assert l2_2000 < 3.0e-5, l2_2000  # measured 1.66e-5 + margin
+
+
+def test_bf16_fast_mode_noise_bound():
+    # The bf16 deviatoric mode trades ~1% velocity noise for ~2x rate;
+    # this documents the measured magnitude (not an accuracy claim).
+    s64 = MucociliarySim(CFG64, backend="jnp")
+    sb = MucociliarySim(CFG64.replace(dtype="bfloat16", storage="auto"),
+                        backend="jnp")
+    st64 = s64.run_chunk(s64.init_state(), 500)
+    stb = sb.run_chunk(sb.init_state(), 500)
+    l2 = _rel_l2(_velocity(sb, stb), _velocity(s64, st64))
+    assert 1e-4 < l2 < 5e-2, l2

@@ -41,6 +41,21 @@ def test_cavity_is_steady():
     assert float(np.max(np.abs(np.asarray(ux1 - ux2)))) < 1e-5
 
 
+def test_recorded_cavity_sweep_metrics():
+    # scripts/validate_cavity.py records the full Re in {100,400,1000}
+    # sweep (TPU, full matmul precision); assert the checked-in deviations
+    # vs Ghia.  Measured 2026-08-16: 0.0097 / 0.0083 / 0.0175 lid units.
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "..", "validation",
+                        "cavity_metrics.json")
+    with open(path) as fh:
+        m = json.load(fh)
+    assert m["100"]["max_dev_ux"] < 0.02
+    assert m["400"]["max_dev_ux"] < 0.02
+    assert m["1000"]["max_dev_ux"] < 0.03
+
+
 @pytest.mark.skipif(not os.environ.get("IBLB_SLOW_TESTS"),
                     reason="set IBLB_SLOW_TESTS=1 for the Re sweep")
 def test_cavity_re400_centrelines():
@@ -50,6 +65,23 @@ def test_cavity_re400_centrelines():
                         0.02135, 0.61756])
     cav = LidDrivenCavity(n=96, re=400.0, u_lid=0.1)
     f = cav.run(cav.init_f(), 80000)
+    ux, _ = cav.centreline_profiles(f)
+    y = (np.arange(cav.n) + 0.5) / cav.n
+    ux_i = np.interp(ghia_y, y, np.asarray(ux))
+    np.testing.assert_allclose(ux_i, ghia_ux, atol=0.03)
+
+
+@pytest.mark.skipif(not os.environ.get("IBLB_SLOW_TESTS"),
+                    reason="set IBLB_SLOW_TESTS=1 for the Re sweep")
+def test_cavity_re1000_centrelines():
+    # Ghia et al. Re=1000, u_x on the vertical centreline.  TRT at 128^2
+    # (tau = 0.538) resolves this to <2% of lid speed (recorded sweep:
+    # validation/cavity_metrics.json, 0.0175).
+    ghia_y = np.array([0.0625, 0.1719, 0.2813, 0.4531, 0.5, 0.6172, 0.9609])
+    ghia_ux = np.array([-0.18109, -0.38289, -0.27805, -0.10648, -0.06080,
+                        0.05702, 0.51117])
+    cav = LidDrivenCavity(n=128, re=1000.0, u_lid=0.1)
+    f = cav.run(cav.init_f(), 200000)
     ux, _ = cav.centreline_profiles(f)
     y = (np.arange(cav.n) + 0.5) / cav.n
     ux_i = np.interp(ghia_y, y, np.asarray(ux))
