@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="K-step temporal blocking for the pallas backend "
                         "(K LB steps per HBM pass over the force-free bulk; "
                         "bit-exact vs single-step; default 1)")
+    p.add_argument("--ib-x-edge", default="periodic",
+                   choices=["periodic", "reference"],
+                   help="IB stencil treatment at the periodic x edges: "
+                        "'periodic' wraps (physically correct); 'reference' "
+                        "replicates the CUDA's row-aliasing/drop quirk "
+                        "exactly (ImmersedBoundary.cu:119-124)")
     p.add_argument("--mesh", default=None, metavar="Y,X",
                    help="device-mesh shape for multi-chip spatial domain "
                         "decomposition (e.g. 2,4); halos ride ICI ppermute")
@@ -69,7 +75,7 @@ def main(argv=None) -> int:
         forcing=args.forcing, resume_from=args.resume,
         checkpoint_every=args.checkpoint_every, quiet=args.quiet,
         profile_dir=args.profile_dir, temporal=args.temporal,
-        mesh=args.mesh)
+        mesh=args.mesh, ib_x_edge=args.ib_x_edge)
     return 0
 
 

@@ -46,6 +46,7 @@ class MucociliarySim:
         forcing: str = "trt_split",
         dtype=None,
         temporal: int = 1,
+        ib_x_edge: str = "periodic",
     ):
         """forcing: "trt_split" (default; TRT-consistent Guo forcing, stable
         at the reference's default parameters) or "reference" (the committed
@@ -57,7 +58,15 @@ class MucociliarySim:
         (pallas backend only): the force-free bulk rows above the IB band
         advance K steps per HBM pass (ops/pallas_step.make_temporal_bulk_
         substep) while the band region + IB coupling step normally —
-        identical physics, ~K-fold lower HBM traffic on the bulk."""
+        identical physics, ~K-fold lower HBM traffic on the bulk.
+
+        ib_x_edge: "periodic" (default; physically-correct periodic wrap
+        of the IB stencil in x) or "reference" (quirk-exact strict-parity
+        mode: interpolation row-aliases like the CUDA's unwrapped flat
+        index, ImmersedBoundary.cu:119-124, and spreading drops the
+        periodic images — see ops/ib.py).  The quirk mode uses the stencil
+        gather/scatter forms instead of the band matmuls and is meant for
+        parity studies, not production."""
         cfg.validate()
         self.cfg = cfg
         self.walls = walls
@@ -83,6 +92,13 @@ class MucociliarySim:
         self.temporal = int(temporal)
         if self.temporal > 1 and backend != "pallas":
             raise ValueError("temporal blocking requires the pallas backend")
+        if ib_x_edge not in ("periodic", "reference"):
+            raise ValueError(f"unknown ib_x_edge {ib_x_edge!r}")
+        if ib_x_edge == "reference" and self.temporal > 1:
+            raise ValueError(
+                "the strict-parity IB x-edge mode is not supported with "
+                "temporal blocking")
+        self.ib_x_edge = ib_x_edge
         if backend == "pallas":
             from cuda_iblb_11_tpu.ops.pallas_step import make_fused_substep
 
@@ -134,31 +150,42 @@ class MucociliarySim:
     def init_state(self) -> FlowState:
         return initial_state(self.cfg, self.dtype)
 
-    def _fluid_ib_step(self, f, force, q, u_s, eps, anchored):
+    def _fluid_ib_step(self, f, force, q, u_s, eps, anchored, s=None):
         """Fluid + IB + flux for one step, given this step's boundary data.
 
         Boundary positions arrive in the precision-preserving
         (integer anchor, small local) split (models/cilia.py:place_precise)
-        so the f32 delta evaluation keeps full precision at any XDIM."""
+        so the f32 delta evaluation keeps full precision at any XDIM; the
+        strict-parity quirk mode additionally receives the raw positions s
+        and uses the stencil gather/scatter forms."""
         cfg = self.cfg
         f_new = self._lb_substep(f, force)
-        # IB coupling in the MXU-friendly band-matmul form (ops/ib_band.py),
-        # mathematically identical to the stencil gather/scatter (ops/ib.py).
         band = cfg.force_band
-        f_s = ib_band.interpolate(f_new, None, u_s, band,
-                                  storage=self.storage, anchored=anchored)
-        force_new = ib_band.spread(f_s, None, eps, cfg.xdim, band,
-                                   anchored=anchored)
+        if self.ib_x_edge == "reference":
+            # quirk-exact x-edge treatment (ops/ib.py docstring)
+            f_s = ib.interpolate_from_f(f_new, s, u_s, storage=self.storage,
+                                        x_edge="reference")
+            force_new = ib.spread(f_s, s, eps, cfg.xdim, band,
+                                  x_edge="reference")
+        else:
+            # IB coupling in the MXU-friendly band-matmul form
+            # (ops/ib_band.py), mathematically identical to the stencil
+            # gather/scatter (ops/ib.py).
+            f_s = ib_band.interpolate(f_new, None, u_s, band,
+                                      storage=self.storage,
+                                      anchored=anchored)
+            force_new = ib_band.spread(f_s, None, eps, cfg.xdim, band,
+                                       anchored=anchored)
         q_new = q + ib.flux_increment(f_new, force_new, cfg.flux_x,
                                       storage=self.storage)
         return f_new, force_new, q_new
 
     def step(self, state: FlowState) -> FlowState:
         pos, vel, lasts_new = self.cilia.kinematics(state.it, state.lasts)
-        _, u_s, eps = self.cilia.place_and_mask(pos, vel)
+        s, u_s, eps = self.cilia.place_and_mask(pos, vel)
         anchored = self.cilia.anchored_nodes(pos)
         f_new, force_new, q_new = self._fluid_ib_step(
-            state.f, state.force, state.q, u_s, eps, anchored)
+            state.f, state.force, state.q, u_s, eps, anchored, s)
         return FlowState(
             f=f_new, force=force_new,
             lasts=lasts_new.astype(self.aux_dtype),
@@ -182,18 +209,19 @@ class MucociliarySim:
         vel = jnp.where((its > 0)[:, None, None, None],
                         jax.vmap(self.cilia.velocities)(its),
                         jnp.zeros_like(pos))
-        _, u_s, eps = jax.vmap(self.cilia.place_and_mask)(pos, vel)
+        s_all, u_s, eps = jax.vmap(self.cilia.place_and_mask)(pos, vel)
         anchor, frac = jax.vmap(self.cilia.anchored_nodes)(pos)
 
         def body(carry, xs):
             f, force, q = carry
-            u_k, e_k, a_k, fr_k = xs
+            u_k, e_k, a_k, fr_k, s_k = xs
             f, force, q = self._fluid_ib_step(
-                f, force, q, u_k, e_k, (a_k, fr_k))
+                f, force, q, u_k, e_k, (a_k, fr_k), s_k)
             return (f, force, q), None
 
         (f, force, q), _ = jax.lax.scan(
-            body, (state.f, state.force, state.q), (u_s, eps, anchor, frac))
+            body, (state.f, state.force, state.q),
+            (u_s, eps, anchor, frac, s_all))
         return FlowState(f=f, force=force,
                          lasts=pos[-1].astype(self.aux_dtype), q=q,
                          it=state.it + n_steps)

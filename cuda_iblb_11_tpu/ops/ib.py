@@ -18,14 +18,18 @@ Replicates CUDA_IBLB_11/ImmersedBoundary.cu with TPU-idiomatic dataflow:
     reference accumulates this into Q every step without ever resetting it
     (main.cu:393), so Q is a cumulative time-integral; we preserve that.
 
-Deviation from the reference (documented): the reference's neighbour
-indexing does not wrap — ``j = y*XDIM + x`` with x possibly -1 or XDIM reads
-a row-aliased cell in ``interpolate`` (ImmersedBoundary.cu:119-122) and
-silently drops outside-domain stencil cells in ``spread``.  Since the domain
-is periodic in x, this module wraps stencil cells periodically in x (the
-physically correct treatment) and drops cells outside the y range (which the
-reference also effectively does).  The difference only affects points within
-1.5 lattice units of the x edges.
+Deviation from the reference (opt-in, via ``x_edge``): the reference's
+neighbour indexing does not wrap — ``j = y*XDIM + x`` with x possibly -1 or
+XDIM reads a ROW-ALIASED cell in ``interpolate`` (ImmersedBoundary.cu:
+119-122: flat index y*XDIM-1 is cell (y-1, XDIM-1)), while ``spread``
+iterates real cells against raw (unwrapped) point coordinates and therefore
+silently DROPS the periodic images (:178-231).  Since the domain is periodic
+in x, the default here (``x_edge="periodic"``) wraps stencil cells
+periodically — the physically correct treatment.  Quirk-exact behaviour is
+available with ``x_edge="reference"``: interpolation row-aliases exactly as
+the flat index does (out-of-buffer reads, which are CUDA UB, are masked
+out), spreading drops out-of-range cells.  The difference only affects
+points within 1.5 lattice units of the x edges.
 """
 
 from __future__ import annotations
@@ -55,14 +59,19 @@ def delta_1d(r):
     return jnp.where(r <= 0.5, inner, jnp.where(r <= 1.5, outer, 0.0))
 
 
-def _stencil(s, xdim, ydim):
+def _stencil(s, xdim, ydim, x_edge="periodic"):
     """3x3 stencil around nearbyint of each point.
 
-    Returns (xw, yc, weight, valid): wrapped x index, clipped y index, the
-    2-D delta weight evaluated at the *unwrapped* cell coordinate, and a mask
-    zeroing cells outside the y range.  The stencil offsets are the 9 lattice
-    vectors, exactly the cells the reference's interpolate visits
-    (ImmersedBoundary.cu:117-124).
+    Returns (xw, yc, weight, valid): x index, y index, the 2-D delta weight
+    evaluated at the *unwrapped* cell coordinate, and a mask zeroing invalid
+    cells.  The stencil offsets are the 9 lattice vectors, exactly the cells
+    the reference's interpolate visits (ImmersedBoundary.cu:117-124).
+
+    x_edge: "periodic" wraps x (default, physically correct);
+    "reference_alias" reproduces interpolate's flat ``j = y*XDIM + x``
+    row-aliasing (ImmersedBoundary.cu:122; reads outside the buffer are
+    masked); "reference_drop" reproduces spread's raw-coordinate test that
+    never sees the periodic images (:178-231).
     """
     xs = s[:, 0][:, None]  # [Ns, 1]
     ys = s[:, 1][:, None]
@@ -73,20 +82,42 @@ def _stencil(s, xdim, ydim):
     xi = x0 + cx  # unwrapped cell coordinates [Ns, 9]
     yi = y0 + cy
     w = delta_1d(xi - xs) * delta_1d(yi - ys)
-    valid = (yi >= 0) & (yi <= ydim - 1)
-    xw = jnp.mod(xi.astype(jnp.int32), xdim)
-    yc = jnp.clip(yi.astype(jnp.int32), 0, ydim - 1)
+    if x_edge == "periodic":
+        valid = (yi >= 0) & (yi <= ydim - 1)
+        xw = jnp.mod(xi.astype(jnp.int32), xdim)
+        yc = jnp.clip(yi.astype(jnp.int32), 0, ydim - 1)
+    elif x_edge == "reference_alias":
+        j = yi.astype(jnp.int32) * xdim + xi.astype(jnp.int32)
+        valid = (j >= 0) & (j < xdim * ydim)
+        j = jnp.clip(j, 0, xdim * ydim - 1)
+        yc = j // xdim
+        xw = j - yc * xdim
+    elif x_edge == "reference_drop":
+        valid = ((xi >= 0) & (xi <= xdim - 1)
+                 & (yi >= 0) & (yi <= ydim - 1))
+        xw = jnp.clip(xi.astype(jnp.int32), 0, xdim - 1)
+        yc = jnp.clip(yi.astype(jnp.int32), 0, ydim - 1)
+    else:
+        raise ValueError(f"unknown x_edge mode {x_edge!r}")
     return xw, yc, w, valid
 
 
-def interpolate(rho, u, s, u_s):
+def _alias_mode(x_edge, kind):
+    if x_edge == "periodic":
+        return "periodic"
+    if x_edge == "reference":
+        return "reference_alias" if kind == "interp" else "reference_drop"
+    raise ValueError(f"unknown x_edge mode {x_edge!r}")
+
+
+def interpolate(rho, u, s, u_s, x_edge="periodic"):
     """Direct-forcing IB force at each Lagrangian point.
 
     rho [Y,X], u [2,Y,X] (uncorrected macro velocity), s [Ns,2], u_s [Ns,2].
     Returns F_s [Ns,2].  (ImmersedBoundary.cu:94-133)
     """
     ydim, xdim = rho.shape
-    xw, yc, w, valid = _stencil(s, xdim, ydim)
+    xw, yc, w, valid = _stencil(s, xdim, ydim, _alias_mode(x_edge, "interp"))
     w = jnp.where(valid, w, 0.0)
     rho_n = rho[yc, xw]                      # [Ns, 9]
     u_n = u[:, yc, xw]                       # [2, Ns, 9]
@@ -94,13 +125,13 @@ def interpolate(rho, u, s, u_s):
     return jnp.sum(2.0 * w[None] * rho_n[None] * diff, axis=-1).T  # [Ns, 2]
 
 
-def interpolate_from_f(f, s, u_s, storage="raw"):
+def interpolate_from_f(f, s, u_s, storage="raw", x_edge="periodic"):
     """Same as :func:`interpolate` but computes the (uncorrected) macro
     moments directly from the distributions at the Ns*9 stencil cells —
     avoids materializing full rho/u fields on the hot path (the reference's
     separate ``macro`` pass, LatticeBoltzmann.cu:375-411, fused away)."""
     _, ydim, xdim = f.shape
-    xw, yc, w, valid = _stencil(s, xdim, ydim)
+    xw, yc, w, valid = _stencil(s, xdim, ydim, _alias_mode(x_edge, "interp"))
     w = jnp.where(valid, w, 0.0)
     f_n = f[:, yc, xw]                       # [9, Ns, 9cells]
     rho_n = jnp.sum(f_n, axis=0)             # [Ns, 9cells]
@@ -112,7 +143,7 @@ def interpolate_from_f(f, s, u_s, storage="raw"):
     return jnp.sum(2.0 * w[None] * rho_n[None] * diff, axis=-1).T
 
 
-def spread(F_s, s, eps, xdim, ydim):
+def spread(F_s, s, eps, xdim, ydim, x_edge="periodic"):
     """Eulerian IB force field by scatter-add of 3x3 delta patches.
 
     F_s [Ns,2], s [Ns,2], eps [Ns] (0/1 overlap mask).  Returns force [2,Y,X].
@@ -120,7 +151,7 @@ def spread(F_s, s, eps, xdim, ydim):
     every cell outside a point's 1.5-radius support has exactly zero weight,
     so only the 3x3 patches contribute.
     """
-    xw, yc, w, valid = _stencil(s, xdim, ydim)
+    xw, yc, w, valid = _stencil(s, xdim, ydim, _alias_mode(x_edge, "spread"))
     w = jnp.where(valid, w, 0.0) * eps[:, None].astype(w.dtype)  # [Ns, 9]
     flat_idx = (yc * xdim + xw).reshape(-1)                      # [Ns*9]
     vals = (F_s.T[:, :, None] * w[None]).reshape(2, -1)          # [2, Ns*9]

@@ -18,12 +18,15 @@ from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
 from cuda_iblb_11_tpu.utils.timing import ThroughputMeter, predict_completion, seconds
 
 
-def _make_sim(cfg, backend, forcing, temporal, mesh):
+def _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge="periodic"):
     """Build the simulation: single-device MucociliarySim, or a sharded sim
     over a (Y, X) device mesh when `mesh` is given (e.g. "2,4")."""
     if not mesh:
         return MucociliarySim(cfg, backend=backend, forcing=forcing,
-                              temporal=temporal)
+                              temporal=temporal, ib_x_edge=ib_x_edge)
+    if ib_x_edge != "periodic":
+        raise NotImplementedError(
+            "the strict-parity IB x-edge mode is single-device only")
     import jax
 
     from cuda_iblb_11_tpu.parallel.sharded import (
@@ -46,7 +49,7 @@ def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
         forcing: str = "trt_split", resume_from: str | None = None,
         checkpoint_every: int = 0, quiet: bool = False,
         profile_dir: str | None = None, temporal: int = 1,
-        mesh: str | None = None) -> dict:
+        mesh: str | None = None, ib_x_edge: str = "periodic") -> dict:
     """Execute cfg.iterations steps with interval outputs.
 
     profile_dir: if set, capture a jax.profiler trace of the first interval
@@ -54,7 +57,7 @@ def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
     mesh: "Y,X" device-mesh shape for multi-chip spatial sharding.
     Returns a summary dict (runtime, MLUPS, final Q)."""
     cfg.validate()
-    sim = _make_sim(cfg, backend, forcing, temporal, mesh)
+    sim = _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge)
     profiling = False
     if profile_dir:
         import jax

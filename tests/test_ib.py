@@ -104,3 +104,69 @@ def test_flux_increment_uniform_flow():
     force = jnp.zeros((2, ydim, xdim))
     q = float(ib.flux_increment(f, force, xdim - 5))
     assert abs(q - u0 * ydim / 192.0) < 1e-6
+
+
+def test_reference_x_edge_interpolate_row_aliases():
+    # Strict-parity mode: the reference's flat j = y*XDIM + x with x = -1
+    # reads cell (y-1, XDIM-1) (ImmersedBoundary.cu:119-124).  Emulate that
+    # indexing in numpy and compare.
+    xdim, ydim = 16, 12
+    rng = np.random.RandomState(0)
+    rho = jnp.asarray(1.0 + 0.1 * rng.rand(ydim, xdim))
+    u = jnp.asarray(0.01 * rng.randn(2, ydim, xdim))
+    s = jnp.asarray([[0.2, 5.0]])   # stencil x in {-1, 0, 1}
+    u_s = jnp.asarray([[0.03, -0.01]])
+
+    got = np.asarray(ib.interpolate(rho, u, s, u_s, x_edge="reference"))[0]
+
+    rho_n, u_n = np.asarray(rho), np.asarray(u)
+    from cuda_iblb_11_tpu.core.lattice import C as CL
+    xs, ys = 0.2, 5.0
+    x0, y0 = round(xs), round(ys)
+    want = np.zeros(2)
+    for i in range(9):
+        x = x0 + int(CL[i, 0])
+        y = y0 + int(CL[i, 1])
+        j = y * xdim + x                      # flat, unwrapped
+        dl = (float(ib.delta_1d(jnp.asarray(abs(x - xs))))
+              * float(ib.delta_1d(jnp.asarray(abs(y - ys)))))
+        ya, xa = divmod(j, xdim)              # row-aliased cell
+        want += 2.0 * dl * rho_n[ya, xa] * (np.asarray(u_s)[0]
+                                            - u_n[:, ya, xa])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # and it must differ from the periodic treatment for this edge point
+    per = np.asarray(ib.interpolate(rho, u, s, u_s))[0]
+    assert np.abs(got - per).max() > 1e-9
+
+
+def test_reference_x_edge_spread_drops_periodic_image():
+    xdim, ydim = 16, 12
+    s = jnp.asarray([[0.2, 5.0]])
+    f_s = jnp.asarray([[1.0, 0.5]])
+    eps = jnp.asarray([1])
+    per = np.asarray(ib.spread(f_s, s, eps, xdim, ydim))
+    refm = np.asarray(ib.spread(f_s, s, eps, xdim, ydim,
+                                x_edge="reference"))
+    # periodic mode wraps the x=-1 column of the stencil to x=XDIM-1;
+    # the reference never sees it
+    assert np.abs(per[:, :, xdim - 1]).max() > 0
+    assert np.abs(refm[:, :, xdim - 1]).max() == 0
+    # interior columns agree exactly
+    np.testing.assert_array_equal(per[:, :, :2], refm[:, :, :2])
+
+
+def test_mucociliary_strict_parity_mode_runs():
+    from cuda_iblb_11_tpu.core.config import SimConfig
+    from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
+
+    cfg = SimConfig(c_num=4, c_space=48, dtype="float64", storage="raw")
+    sim = MucociliarySim(cfg, backend="jnp", ib_x_edge="reference")
+    st = sim.run_chunk(sim.init_state(), 5)
+    assert int(st.it) == 5
+    assert np.isfinite(float(st.q))
+    assert np.isfinite(np.asarray(st.f)).all()
+    import pytest
+
+    with pytest.raises(ValueError):
+        MucociliarySim(cfg, backend="pallas", temporal=2,
+                       ib_x_edge="reference")

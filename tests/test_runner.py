@@ -69,6 +69,17 @@ def test_resume_preserves_flux_series_and_simlog(tmp_path):
     assert "Resumed from checkpoint" in log
 
 
+def test_profile_dir_writes_trace(tmp_path):
+    # --profile-dir captures a jax.profiler trace of the first interval
+    # (the reference's only tracing was a wall-clock timer, seconds.cpp).
+    prof = tmp_path / "trace"
+    cfg = CFG.replace(i_pow=0.001, p_num=1, bigdata=False)  # 100 steps
+    run(cfg, output_root=str(tmp_path / "out"), quiet=True,
+        profile_dir=str(prof))
+    found = list(prof.rglob("*.xplane.pb")) + list(prof.rglob("*.trace*"))
+    assert found, f"no profiler artifacts under {prof}"
+
+
 def test_checkpoint_cadence_not_interval_aligned(tmp_path):
     # checkpoint_every=250 with interval=100: the old `it % every == 0`
     # test never fired; the steps-since-last-save rule saves at it=300.
