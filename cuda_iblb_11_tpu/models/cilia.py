@@ -34,6 +34,7 @@ left (cyclically), preventing double-counted IB force during overlap.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -171,8 +172,10 @@ class CiliaModel:
         scale = jnp.concatenate(
             [jnp.array([0.5], self.hp), jnp.ones((6,), self.hp)])
         pos = BEAT_SCALE * (
-            jnp.einsum("jnc,mn->mjc", self.a_pre, cosn * scale[None])
-            + jnp.einsum("jnc,mn->mjc", self.b_pre, sinn * scale[None])
+            jnp.einsum("jnc,mn->mjc", self.a_pre, cosn * scale[None],
+           precision=jax.lax.Precision.HIGH)
+            + jnp.einsum("jnc,mn->mjc", self.b_pre, sinn * scale[None],
+             precision=jax.lax.Precision.HIGH)
         )
         pos = pos.at[:, :, 0].add(self.offsets[:, None])
         return pos
@@ -208,8 +211,10 @@ class CiliaModel:
         dsin = 2.0 * jnp.cos(n * half_sum[:, None]) * jnp.sin(
             n * half_dif[:, None])
         vel = BEAT_SCALE * (
-            jnp.einsum("jnc,mn->mjc", self.a_pre, dcos)
-            + jnp.einsum("jnc,mn->mjc", self.b_pre, dsin)
+            jnp.einsum("jnc,mn->mjc", self.a_pre, dcos,
+           precision=jax.lax.Precision.HIGH)
+            + jnp.einsum("jnc,mn->mjc", self.b_pre, dsin,
+             precision=jax.lax.Precision.HIGH)
         )
         return vel
 

@@ -34,9 +34,13 @@ points within 1.5 lattice units of the x edges.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from cuda_iblb_11_tpu.core.lattice import C
+
+# full-precision f32 contractions on TPU (see ops/ib_band.py:_PREC)
+_PREC = jax.lax.Precision.HIGH
 
 # Reference coefficient literals (ImmersedBoundary.cu:36,43).
 _A_INNER = 0.33333
@@ -138,7 +142,8 @@ def interpolate_from_f(f, s, u_s, storage="raw", x_edge="periodic"):
     if storage == "deviatoric":
         rho_n = 1.0 + rho_n
     c = jnp.asarray(C, f.dtype)
-    u_n = jnp.einsum("inm,ic->cnm", f_n, c) / rho_n[None]
+    u_n = jnp.einsum("inm,ic->cnm", f_n, c,
+                 precision=_PREC) / rho_n[None]
     diff = u_s.T[:, :, None] - u_n
     return jnp.sum(2.0 * w[None] * rho_n[None] * diff, axis=-1).T
 
@@ -175,7 +180,7 @@ def flux_increment(f_new, force_new, flux_x, ydim_divisor=192.0,
     rho = jnp.sum(col_f, axis=0)
     if storage == "deviatoric":
         rho = 1.0 + rho
-    mom_x = jnp.einsum("iy,i->y", col_f, cx)
+    mom_x = jnp.einsum("iy,i->y", col_f, cx, precision=_PREC)
     fcol = force_new[0, :, flux_x].astype(cdt)
     ydim = f_new.shape[1]
     if fcol.shape[0] < ydim:

@@ -26,10 +26,18 @@ weight); tests/test_ib_band.py checks equality to f64 round-off.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from cuda_iblb_11_tpu.core.lattice import C
 from cuda_iblb_11_tpu.ops.ib import delta_1d
+
+# TPU f32 einsums default to reduced-precision MXU passes, which injects
+# ~1e-3 relative noise into the IB force every step and broke the <1e-5
+# velocity bound ON HARDWARE (measured 2026-08-16: default 1.0e-3 vs f64 at
+# 500 steps; HIGH 3.8e-6; HIGHEST 9.8e-7; CPU f32 8.6e-6).  HIGH costs ~9%
+# of the temporal-K8 rate vs default and keeps the accuracy claim honest.
+_PREC = jax.lax.Precision.HIGH
 
 DEFAULT_BAND = 128  # >= max cilium tip height (~97.5) + delta support
 
@@ -91,7 +99,7 @@ def band_moments(f, band, storage="raw"):
     if storage == "deviatoric":
         rho = 1.0 + rho
     c = jnp.asarray(C, f.dtype)
-    mom = jnp.einsum("iyx,ic->cyx", fb, c)
+    mom = jnp.einsum("iyx,ic->cyx", fb, c, precision=_PREC)
     return rho, mom
 
 
@@ -111,7 +119,7 @@ def interpolate(f, s, u_s, band=DEFAULT_BAND, storage="raw", anchored=None):
         dy, dx = _delta_factors(s, f.shape[2], band, cdt)
     # T[q, k, x] = sum_y DY[k,y] q[y,x]; stack rho + 2 momentum components.
     q = jnp.concatenate([rho[None], mom], axis=0)        # [3, band, X]
-    t = jnp.einsum("ky,qyx->qkx", dy, q,
+    t = jnp.einsum("ky,qyx->qkx", dy, q, precision=_PREC,
                    preferred_element_type=cdt)            # [3, Ns, X]
     i_q = jnp.sum(dx[None] * t, axis=-1)                  # [3, Ns]
     i_rho = i_q[0]
@@ -130,7 +138,7 @@ def spread(f_s, s, eps, xdim, band=DEFAULT_BAND, anchored=None):
         dy, dx = _delta_factors(s, xdim, band, f_s.dtype)
     lhs = (f_s * eps[:, None].astype(f_s.dtype))          # [Ns, 2]
     a = lhs.T[:, None, :] * dy.T[None]                    # [2, band, Ns]
-    return jnp.einsum("cyk,kx->cyx", a, dx,
+    return jnp.einsum("cyk,kx->cyx", a, dx, precision=_PREC,
                       preferred_element_type=f_s.dtype)   # [2, band, X]
 
 
@@ -153,13 +161,13 @@ def interpolate_partial(f_loc, xdim, band, y0, x0, n_rows, storage="raw",
     if storage == "deviatoric":
         rho = 1.0 + rho
     c = jnp.asarray(C, f_loc.dtype)
-    mom = jnp.einsum("iyx,ic->cyx", fb, c)
+    mom = jnp.einsum("iyx,ic->cyx", fb, c, precision=_PREC)
     cdt = rho.dtype
     dy, dx = _delta_factors_anchored(
         anchored[0], anchored[1], xdim, band, cdt,
         x_offset=x0, x_count=f_loc.shape[2], y_offset=y0, y_count=n_rows)
     q = jnp.concatenate([rho[None], mom], axis=0)          # [3, n_rows, xl]
-    t = jnp.einsum("ky,qyx->qkx", dy, q,
+    t = jnp.einsum("ky,qyx->qkx", dy, q, precision=_PREC,
                    preferred_element_type=cdt)              # [3, Ns, xl]
     return jnp.sum(dx[None] * t, axis=-1)                   # [3, Ns]
 
@@ -182,7 +190,7 @@ def spread_local(f_s, eps, xdim, band, x0, xl, anchored=None):
         x_offset=x0, x_count=xl)
     lhs = (f_s * eps[:, None].astype(f_s.dtype))          # [Ns, 2]
     a = lhs.T[:, None, :] * dy.T[None]                    # [2, band, Ns]
-    return jnp.einsum("cyk,kx->cyx", a, dx,
+    return jnp.einsum("cyk,kx->cyx", a, dx, precision=_PREC,
                       preferred_element_type=f_s.dtype)   # [2, band, xl]
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -78,7 +79,8 @@ def moments(f, storage="raw"):
     if storage == "deviatoric":
         rho = 1.0 + rho
     c = jnp.asarray(C, f.dtype)
-    mom = jnp.einsum("iyx,ic->cyx", f, c)
+    mom = jnp.einsum("iyx,ic->cyx", f, c,
+                 precision=jax.lax.Precision.HIGH)
     return rho, mom / rho
 
 
@@ -90,7 +92,8 @@ def corrected_velocity(f, force, storage="raw"):
     if storage == "deviatoric":
         rho = 1.0 + rho
     c = jnp.asarray(C, f.dtype)
-    mom = jnp.einsum("iyx,ic->cyx", f, c)
+    mom = jnp.einsum("iyx,ic->cyx", f, c,
+                 precision=jax.lax.Precision.HIGH)
     return rho, (mom + 0.5 * force) / rho
 
 
@@ -103,7 +106,8 @@ def equilibrium(rho, u, storage="raw"):
     dtype = u.dtype
     c = jnp.asarray(C, dtype)           # [9, 2]
     w = jnp.asarray(W, dtype)           # [9]
-    cu = jnp.einsum("ic,cyx->iyx", c, u)
+    cu = jnp.einsum("ic,cyx->iyx", c, u,
+                precision=jax.lax.Precision.HIGH)
     u2 = jnp.sum(u * u, axis=0)
     poly = cu / CS2 + cu * cu / (2.0 * CS4) - u2[None] / (2.0 * CS2)
     if storage == "deviatoric":
@@ -135,7 +139,8 @@ def guo_forcing(u, force, tau, tau2=None, scheme="reference"):
     dtype = u.dtype
     c = jnp.asarray(C, dtype)
     w = jnp.asarray(W, dtype)
-    cu = jnp.einsum("ic,cyx->iyx", c, u)  # [9, Y, X]
+    cu = jnp.einsum("ic,cyx->iyx", c, u,
+                precision=jax.lax.Precision.HIGH)  # [9, Y, X]
     # vec_ic = (c_ic - u_c)/cs^2 + cu_i * c_ic / cs^4
     vec = (c[:, :, None, None] - u[None]) / CS2 + (
         cu[:, None] * c[:, :, None, None] / CS4

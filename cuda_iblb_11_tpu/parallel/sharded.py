@@ -204,7 +204,8 @@ class ShardedMucociliarySim:
         if self.storage == "deviatoric":
             rho_c = 1.0 + rho_c
         c = jnp.asarray(C, f_new.dtype)
-        mom = jnp.einsum("inm,ic->cnm", f_cells, c)
+        mom = jnp.einsum("inm,ic->cnm", f_cells, c,
+                 precision=jax.lax.Precision.HIGH)
         u_c = mom / rho_c[None]
         diff = u_s.T[:, :, None] - u_c                     # [2, Ns, 9]
         wm = jnp.where(own, w, 0.0)
@@ -228,7 +229,8 @@ class ShardedMucociliarySim:
         rho_col = jnp.sum(col_f, axis=0)
         if self.storage == "deviatoric":
             rho_col = 1.0 + rho_col
-        mom_col = jnp.einsum("iy,i->y", col_f, cx)
+        mom_col = jnp.einsum("iy,i->y", col_f, cx,
+                     precision=jax.lax.Precision.HIGH)
         ux_col = (mom_col + 0.5 * force_new[0, :, xf]) / rho_col
         contrib = jnp.where(col_owned, jnp.sum(ux_col), 0.0) / 192.0
         q_new = q + jax.lax.psum(jax.lax.psum(contrib, "x"), "y")
@@ -527,7 +529,8 @@ class ShardedPallasSim(_ShardedPallasChunkMixin, ShardedMucociliarySim):
         if self.storage == "deviatoric":
             rho_col = 1.0 + rho_col
         cxv = jnp.asarray(C[:, 0], cdt)
-        mom_col = jnp.einsum("iy,i->y", col_f, cxv)
+        mom_col = jnp.einsum("iy,i->y", col_f, cxv,
+                     precision=jax.lax.Precision.HIGH)
         fcol = self._band_force_rows(
             force_new.astype(cdt), y0, yl, lane=lane)[0, :, 0]
         ux = (mom_col + 0.5 * fcol) / rho_col
