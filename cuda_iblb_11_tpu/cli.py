@@ -52,7 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "decomposition (e.g. 2,4); halos ride ICI ppermute")
     p.add_argument("--resume", default=None, help="checkpoint .npz to resume")
     p.add_argument("--checkpoint-every", type=int, default=0,
-                   help="write checkpoint.npz every N iterations")
+                   help="write a checkpoint every N iterations")
+    p.add_argument("--checkpoint-format", default="npz",
+                   choices=["npz", "orbax"],
+                   help="npz: single host-gathered archive; orbax: sharded "
+                        "(each host writes its own shards, resume restores "
+                        "directly onto the mesh).  --resume auto-detects")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the first interval")
@@ -75,7 +80,8 @@ def main(argv=None) -> int:
         forcing=args.forcing, resume_from=args.resume,
         checkpoint_every=args.checkpoint_every, quiet=args.quiet,
         profile_dir=args.profile_dir, temporal=args.temporal,
-        mesh=args.mesh, ib_x_edge=args.ib_x_edge)
+        mesh=args.mesh, ib_x_edge=args.ib_x_edge,
+        checkpoint_format=args.checkpoint_format)
     return 0
 
 

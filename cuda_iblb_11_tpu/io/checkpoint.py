@@ -2,9 +2,15 @@
 after a crash; SURVEY.md §5).
 
 The full restartable state is (f, force, lasts, q, it) plus the config needed
-to validate compatibility.  Stored as a single .npz; cheap at any grid size
-the single-host path handles.  For multi-host sharded runs use
-orbax-checkpoint on the same pytree (the state is a NamedTuple of arrays).
+to validate compatibility.  Two formats:
+
+  * .npz (``save``/``load``): a single host-gathered archive — simple,
+    portable, fine for single-host runs of any grid size.
+  * orbax (``save_orbax``/``load_orbax``): each host writes only its own
+    shards and restore places arrays directly onto the target mesh without
+    a host gather — the multi-host / large-grid path (SURVEY.md §5).
+    ``load_orbax`` takes the target simulation so restoration can build
+    the abstract pytree with the right shardings (sim.place_state's layout).
 """
 
 from __future__ import annotations
@@ -55,3 +61,67 @@ def load(path: str, cfg: SimConfig | None = None) -> tuple[FlowState, SimConfig]
             it=jnp.asarray(z["it"]),
         )
     return state, saved_cfg
+
+
+# ---- orbax (sharded / multi-host) format ----------------------------------
+
+def _check_compat(saved_cfg: SimConfig, cfg: SimConfig | None) -> None:
+    if cfg is None:
+        return
+    bad = [f for f in _STATE_FIELDS
+           if getattr(cfg, f) != getattr(saved_cfg, f)]
+    if bad:
+        raise ValueError(
+            f"checkpoint incompatible in fields {bad}:\n"
+            f" saved: {saved_cfg}\n asked: {cfg}")
+
+
+def save_orbax(path: str, state: FlowState, cfg: SimConfig) -> None:
+    """Sharded checkpoint: every host writes only its own array shards
+    (no host gather).  `path` is a directory."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ckptr:
+        ckptr.save(
+            path,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state._asdict()),
+                config=ocp.args.JsonSave(dataclasses.asdict(cfg)),
+            ),
+            force=True,
+        )
+
+
+def load_orbax(path: str, cfg: SimConfig | None = None,
+               sim=None) -> tuple[FlowState, SimConfig]:
+    """Restore a sharded checkpoint.  If `sim` is given (any of the
+    simulation classes), arrays are restored DIRECTLY onto its mesh/layout
+    (via the shardings of sim.init_state()); otherwise they come back as
+    single-device arrays."""
+    import os
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ckptr:
+        meta = ckptr.restore(
+            path, args=ocp.args.Composite(config=ocp.args.JsonRestore()))
+        saved_cfg = SimConfig(**meta["config"])
+        _check_compat(saved_cfg, cfg)
+        if sim is not None:
+            target = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                               sharding=x.sharding),
+                sim.init_state()._asdict())
+            restored = ckptr.restore(
+                path, args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(target)))
+        else:
+            restored = ckptr.restore(
+                path, args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore()))
+    return FlowState(**restored["state"]), saved_cfg

@@ -49,12 +49,17 @@ def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
         forcing: str = "trt_split", resume_from: str | None = None,
         checkpoint_every: int = 0, quiet: bool = False,
         profile_dir: str | None = None, temporal: int = 1,
-        mesh: str | None = None, ib_x_edge: str = "periodic") -> dict:
+        mesh: str | None = None, ib_x_edge: str = "periodic",
+        checkpoint_format: str = "npz") -> dict:
     """Execute cfg.iterations steps with interval outputs.
 
     profile_dir: if set, capture a jax.profiler trace of the first interval
     (the reference's only tracing was a wall-clock timer, seconds.cpp).
     mesh: "Y,X" device-mesh shape for multi-chip spatial sharding.
+    checkpoint_format: "npz" (single host-gathered archive) or "orbax"
+    (sharded: each host writes its own shards; resume restores directly
+    onto the mesh).  --resume auto-detects the format (orbax checkpoints
+    are directories).
     Returns a summary dict (runtime, MLUPS, final Q)."""
     cfg.validate()
     sim = _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge)
@@ -75,9 +80,13 @@ def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
         extra["Mesh"] = mesh
 
     if resume_from:
-        state, _ = ckpt.load(resume_from, cfg)
-        if mesh:
-            state = sim.place_state(state)  # re-shard onto the mesh
+        if os.path.isdir(resume_from):  # orbax checkpoints are directories
+            state, _ = ckpt.load_orbax(resume_from, cfg,
+                                       sim=sim if mesh else None)
+        else:
+            state, _ = ckpt.load(resume_from, cfg)
+            if mesh:
+                state = sim.place_state(state)  # re-shard onto the mesh
         it0 = int(state.it)
         # Preserve the flux rows already written up to the checkpoint (the
         # resumed loop rewrites the row at it0 itself iff it0 is an interval
@@ -151,8 +160,13 @@ def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
         # ever stops on interval boundaries, so a modulo test could miss
         # every save when N is not a multiple of the interval).
         if checkpoint_every and it - last_ckpt >= checkpoint_every:
-            ckpt.save(os.path.join(paths.raw_dir, "checkpoint.npz"),
-                      state, cfg)
+            if checkpoint_format == "orbax":
+                ckpt.save_orbax(
+                    os.path.join(paths.raw_dir, "checkpoint_orbax"),
+                    state, cfg)
+            else:
+                ckpt.save(os.path.join(paths.raw_dir, "checkpoint.npz"),
+                          state, cfg)
             last_ckpt = it
 
     # Final flux row after the loop (main.cu:1030-1034).

@@ -63,6 +63,35 @@ def test_cli_mesh_resume_from_single_device_checkpoint(tmp_path):
     np.testing.assert_allclose(a[-3:], b[-3:], rtol=1e-9)
 
 
+def test_cli_orbax_sharded_checkpoint_roundtrip(tmp_path):
+    # Orbax sharded checkpointing end-to-end: a mesh run checkpoints with
+    # --checkpoint-format orbax (each host writes its shards), then a mesh
+    # run resumes from the directory (restore places arrays directly onto
+    # the mesh) and reproduces the uninterrupted run's flux series.
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    args = ["1", "4", "48", "1.0", "1.0", "5", "0.002", "2", "0", "0",
+            "--quiet", "--dtype", "float64", "--mesh", "2,4"]
+    assert main(args + ["--output", str(tmp_path / "a"),
+                        "--checkpoint-every", "100",
+                        "--checkpoint-format", "orbax"]) == 0
+    ck = str(tmp_path / "a" / "Raw" / "4" / "1" / "checkpoint_orbax")
+    import os
+
+    assert os.path.isdir(ck)
+    full = ["1", "4", "48", "1.0", "1.0", "5", "0.004", "4", "0", "0",
+            "--quiet", "--dtype", "float64"]
+    assert main(full + ["--output", str(tmp_path / "m"), "--mesh", "2,4",
+                        "--resume", ck]) == 0
+    assert main(full + ["--output", str(tmp_path / "s")]) == 0
+    a = np.loadtxt(tmp_path / "m" / "Flux" / "1_4_48_1_1x5-flux.dat")
+    b = np.loadtxt(tmp_path / "s" / "Flux" / "1_4_48_1_1x5-flux.dat")
+    np.testing.assert_allclose(a[-3:], b[-3:], rtol=1e-9)
+
+
 def test_cli_too_few_args():
     assert main(["1", "2", "3"]) == 1
 
