@@ -936,6 +936,16 @@ def make_temporal_bulk_substep(cfg, n_rows: int, n_steps: int,
         walls=walls, storage=storage, flux_lane=int(cfg.flux_x),
         cdt=cdt, align=align,
     )
+    # VMEM reservation sized to the actual footprint (+ headroom for the
+    # working planes) — a flat high limit starves XLA's own VMEM prefetch
+    # for the surrounding ops and can abort compilation.
+    footprint = (
+        (3 * K) * 9 * ty * xdim * cdt.itemsize        # f1 rings
+        + (2 + 2) * 9 * ty * xdim * dtype.itemsize    # in slots + out bufs
+        + K * 9 * 8 * xdim * cdt.itemsize             # bhalos
+        + 8 * ty * xdim * cdt.itemsize                # working planes
+    )
+    vmem_limit = min(footprint + (8 << 20), 100 << 20)
     call = pl.pallas_call(
         kernel,
         grid=(n_tiles + K,),
@@ -960,7 +970,7 @@ def make_temporal_bulk_substep(cfg, n_rows: int, n_steps: int,
             pltpu.VMEM((K, 3, 9, ty, xdim), cdt),      # f1 ring per sub-step
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 << 20),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         cost_estimate=pl.CostEstimate(
             flops=int(n_rows * xdim * 200 * K),
             bytes_accessed=int(18 * n_rows * xdim * dtype.itemsize),
