@@ -4,7 +4,7 @@ fused Pallas collide+stream + IB cilia coupling + cumulative flux).
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "MLUPS", "vs_baseline": N}
 
-The primary mode is float32 with K=8 temporal blocking (K LB steps per HBM
+The primary mode is float32 with K=16 temporal blocking (K LB steps per HBM
 pass over the force-free rows above the IB band) — bit-exact on TPU against
 the single-step fused kernel, so the f32 accuracy validation (velocity L2
 vs the f64 oracle, tests/test_pallas.py + tests/test_accuracy_horizon.py)
@@ -23,7 +23,7 @@ import sys
 import time
 
 REFERENCE_MLUPS = 0.62
-TEMPORAL_K = 8
+TEMPORAL_K = 16
 
 
 def log(*a):
@@ -86,13 +86,13 @@ def main():
                 u_f32 = corrected_velocity_of(sim, state)
             try:
                 cfgb = cfg.replace(dtype="bfloat16")
-                simb = MucociliarySim(cfgb, backend="pallas", temporal=4)
+                simb = MucociliarySim(cfgb, backend="pallas", temporal=8)
                 stb, dtb = timed_run(simb, steps)
                 u_bf16 = corrected_velocity_of(simb, stb)
                 rel = float(jnp.linalg.norm(u_bf16.astype(jnp.float32)
                                             - u_f32)
                             / jnp.linalg.norm(u_f32))
-                log(f"secondary: bf16 temporal K=4 "
+                log(f"secondary: bf16 temporal K=8 "
                     f"{cfg.size * steps / dtb / 1e6:.0f} MLUPS "
                     f"(measured velocity rel-L2 vs f32 @{steps} steps: "
                     f"{rel:.2e})")

@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 
 from cuda_iblb_11_tpu.core.config import SimConfig
-from cuda_iblb_11_tpu.core.lattice import C
 from cuda_iblb_11_tpu.core.state import FlowState, initial_state
 from cuda_iblb_11_tpu.models.cilia import CiliaModel
 from cuda_iblb_11_tpu.ops import ib, ib_band
@@ -107,33 +106,34 @@ class MucociliarySim:
                 storage=self.storage)
             if self.temporal > 1:
                 from cuda_iblb_11_tpu.ops.pallas_step import (
-                    make_sharded_fused_substep, make_temporal_bulk_substep,
+                    _pick_tile, make_sharded_fused_substep,
+                    make_temporal_bulk_substep,
                 )
 
                 band = cfg.force_band
-                if cfg.ydim - band < 16 + self.temporal:
+                # The band leg runs on an EXTENDED block: the band plus a
+                # `pad`-row throwaway copy of the bulk bottom (the classic
+                # temporal-blocking ghost trapezoid: the kernel's top halo
+                # is garbage, contaminating one pad row per sub-step from
+                # the top, so pad >= K keeps every band row valid).  The
+                # kernel exposes its row band-1 f1 as the bulk's seam halo
+                # — everything stays inside Mosaic, so the temporal path
+                # remains bit-identical to the single-step kernel.
+                ty0 = min(_pick_tile(band, cfg.xdim, self.dtype.itemsize,
+                                     True), band)
+                pad = -(-self.temporal // ty0) * ty0
+                if cfg.ydim - band < pad:
                     raise ValueError(
                         "temporal blocking needs ydim well above the force "
-                        f"band (ydim={cfg.ydim}, band={band})")
+                        f"band (ydim={cfg.ydim}, band={band}, pad={pad})")
+                self._band_pad = pad
                 self._band_substep = make_sharded_fused_substep(
-                    cfg, band, walls, self.dtype, forcing=forcing,
-                    storage=self.storage)
+                    cfg, band + pad, walls, self.dtype, forcing=forcing,
+                    storage=self.storage, tile_y=ty0,
+                    expose_f1_row=band - 1)
                 self._bulk_substep = make_temporal_bulk_substep(
                     cfg, cfg.ydim - band, self.temporal, walls, self.dtype,
                     forcing=forcing, storage=self.storage)
-                # Seam slab: 1 bhalo row + K wedge rows, 8-aligned.  The
-                # micro collide kernel keeps the seam f1 bit-identical to
-                # the fused kernels' internal arithmetic (an XLA-side
-                # collide rounds differently and the IB feedback amplifies
-                # the ulp-level seam noise to ~1e-4 over hundreds of steps).
-                from cuda_iblb_11_tpu.ops.pallas_step import (
-                    make_collide_rows_kernel,
-                )
-
-                self._seam_rows = -(-(1 + self.temporal) // 8) * 8
-                self._seam_collide = make_collide_rows_kernel(
-                    cfg, self._seam_rows, self.dtype, forcing=forcing,
-                    storage=self.storage)
         elif backend == "jnp":
             def _substep(f, force_band):
                 force = ib_band.pad_band(force_band, cfg.ydim)
@@ -242,47 +242,29 @@ class MucociliarySim:
         aux = self.aux_dtype
         u_s, eps, anchor, frac = xs
         flags = jnp.array([0, 1, 0], jnp.int32)  # y0=0, bottom wall, no top
-        pad7 = [(0, 0), (0, 7), (0, 0)]
-        zero_bhalo = jnp.zeros((9, 8, cfg.xdim), aux)
-        r_pad = self._seam_rows
-        wedge = f_bulk[:, :K, :].astype(aux)
+        zero8 = jnp.zeros((9, 8, cfg.xdim), aux)
+        # Extended band block: band rows + a throwaway copy of the bulk
+        # bottom (ghost trapezoid; its top halo is garbage that never
+        # reaches the band rows within K sub-steps).
+        band_ext = jnp.concatenate([f_band, f_bulk[:, :self._band_pad, :]],
+                                   axis=1)
         bhalos = []
         flux_band = jnp.zeros((), aux)
         for s in range(K):
-            # Seam slab rows: [band-1 (with force), wedge rows band..band+K-1
-            # (force-free), zero padding]; collided by the micro kernel so
-            # the f1 halos match the fused kernels bit-for-bit.
-            f_slab = jnp.concatenate(
-                [f_band[:, band - 1:band].astype(aux), wedge,
-                 jnp.zeros((9, r_pad - 1 - K, cfg.xdim), aux)], axis=1)
-            force_slab = jnp.concatenate(
-                [force[:, band - 1:band].astype(aux),
-                 jnp.zeros((2, r_pad - 1, cfg.xdim), aux)], axis=1)
-            f1_slab = self._seam_collide(f_slab, force_slab)
-            bhalo = f1_slab[:, 0:1, :]
-            f1w = f1_slab[:, 1:1 + K, :]
-            thalo = jnp.pad(f1w[:, 0:1, :], pad7)
-            f_band = self._band_substep(flags, f_band, force, zero_bhalo,
-                                        thalo)
-            # wedge pull-stream: ext row r holds f1 of global row band-1+r
-            ext = jnp.concatenate([bhalo, f1w, f1w[:, K - 1:K, :]], axis=1)
-            wedge = jnp.stack([
-                jnp.roll(ext[d, 1 - int(C[d, 1]):1 - int(C[d, 1]) + K, :],
-                         int(C[d, 0]), axis=-1)
-                for d in range(9)
-            ])
+            band_ext, bhalo = self._band_substep(flags, band_ext, force,
+                                                 zero8, zero8)
             anchored = (anchor[s], frac[s])
-            f_s = ib_band.interpolate(f_band, None, u_s[s], band,
+            f_s = ib_band.interpolate(band_ext, None, u_s[s], band,
                                       storage=self.storage,
                                       anchored=anchored)
             force = ib_band.spread(f_s, None, eps[s], cfg.xdim, band,
                                    anchored=anchored).astype(force.dtype)
             flux_band = flux_band + ib.flux_increment(
-                f_band, force, cfg.flux_x, storage=self.storage)
-            bhalos.append(jnp.pad(bhalo, pad7))
+                band_ext[:, :band], force, cfg.flux_x, storage=self.storage)
+            bhalos.append(bhalo)
         f_bulk, flux_bulk = self._bulk_substep(f_bulk, jnp.stack(bhalos))
         q = q + flux_band + jnp.sum(flux_bulk) / 192.0
-        return f_band, f_bulk, force, q
+        return band_ext[:, :band], f_bulk, force, q
 
     @partial(jax.jit, static_argnums=(0, 2), donate_argnums=(1,))
     def _run_scan_temporal(self, state: FlowState, n_steps: int) -> FlowState:

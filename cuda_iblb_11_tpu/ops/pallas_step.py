@@ -258,7 +258,7 @@ def _collide_stream_kernel(
 def _pipelined_kernel(
     *refs,
     ydim, xdim, ty, band_tiles, tau, tau2, forcing, walls, storage,
-    cdt=jnp.float32, align=8, sharded=False, band=None,
+    cdt=jnp.float32, align=8, sharded=False, band=None, expose_row=None,
 ):
     """Lag-1 software-pipelined variant with an f1 ring.
 
@@ -283,11 +283,16 @@ def _pipelined_kernel(
         f0+ = rho w (1 + cu^2/(2 cs^4) - u^2/(2 cs^2)),  f0- = rho w cu/cs^2
         s+  = w (cu (c.g)/cs^4 - (u.g)/cs^2),            s-  = w (c.g)/cs^2
     """
+    f1out = None
     if sharded:
         # (flags via scalar prefetch: [y0_rows, is_bottom, is_top];
         #  bhalo/thalo: f1 halo rows from the neighbour shards, row 0 used)
-        (flags, f_hbm, force_hbm, bhalo, thalo, out_ref,
-         fsl, fosl, f1sl, sem) = refs
+        if expose_row is not None:
+            (flags, f_hbm, force_hbm, bhalo, thalo, out_ref, f1out,
+             fsl, fosl, f1sl, sem) = refs
+        else:
+            (flags, f_hbm, force_hbm, bhalo, thalo, out_ref,
+             fsl, fosl, f1sl, sem) = refs
         y0 = pl.multiple_of(flags[0], align)
         is_bottom = flags[1] == 1
         is_top = flags[2] == 1
@@ -346,6 +351,8 @@ def _pipelined_kernel(
     @pl.when(i == 0)
     def _kickoff():
         start_dma(0)
+        if f1out is not None:
+            f1out[...] = jnp.zeros_like(f1out)
 
     @pl.when(i + 1 <= n_tiles - 1)
     def _prefetch():
@@ -420,6 +427,17 @@ def _pipelined_kernel(
             fb = lam_p * s_even - lam_odd * s_odd
             f1sl[rc, a] = f[a] - even - odd + fa
             f1sl[rc, b] = f[b] - even + odd + fb
+
+        # Optionally expose one local row's f1 (temporal blocking reads the
+        # band's top-row post-collision values as the bulk's seam halo).
+        if f1out is not None:
+            er_tile, er_row = expose_row // ty, expose_row % ty
+
+            @pl.when(i == er_tile)
+            def _expose():
+                for d in range(9):
+                    f1out[d, 0:1, :] = f1sl[
+                        rc, d, er_row:er_row + 1, :].astype(f1out.dtype)
 
     # --- assemble streamed output of tile j = i-1 from the ring ----------
     @pl.when(i >= 1)
@@ -991,8 +1009,14 @@ def make_sharded_fused_substep(cfg, yl: int, walls: WallSpec = REFERENCE_WALLS,
                                storage: str = "raw",
                                interpret: bool | None = None,
                                tile_y: int | None = None,
-                               xl: int | None = None):
+                               xl: int | None = None,
+                               expose_f1_row: int | None = None):
     """Per-shard fused substep for a sharded domain (parallel/sharded).
+
+    expose_f1_row: if set, the call returns a second output [9, 8, xl]
+    whose row 0 holds the post-collision f1 of that LOCAL row — the
+    temporal-blocking band leg exposes its row band-1 as the bulk
+    kernel's seam halo, removing the separate seam collide.
 
     The local block is [9, yl, xl] (xl defaults to the full width); the
     force array holds the GLOBAL band rows x the shard's xl columns
@@ -1036,8 +1060,19 @@ def make_sharded_fused_substep(cfg, yl: int, walls: WallSpec = REFERENCE_WALLS,
         ydim=yl, xdim=xdim, ty=ty, band_tiles=band // ty,
         tau=float(cfg.tau), tau2=float(cfg.tau2), forcing=forcing,
         walls=walls, storage=storage, cdt=cdt, align=align,
-        sharded=True, band=band,
+        sharded=True, band=band, expose_row=expose_f1_row,
     )
+    out_specs = pl.BlockSpec(
+        (9, ty, xdim), lambda i, *_: (0, jnp.maximum(i - 1, 0), 0),
+        memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((9, yl, xdim), dtype)
+    if expose_f1_row is not None:
+        if not 0 <= expose_f1_row < yl:
+            raise ValueError("expose_f1_row outside the local block")
+        out_specs = [out_specs,
+                     pl.BlockSpec((9, 8, xdim), lambda i, *_: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((9, 8, xdim), cdt)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles + 1,),
@@ -1047,9 +1082,7 @@ def make_sharded_fused_substep(cfg, yl: int, walls: WallSpec = REFERENCE_WALLS,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bhalo f1
             pl.BlockSpec(memory_space=pltpu.VMEM),   # thalo f1
         ],
-        out_specs=pl.BlockSpec(
-            (9, ty, xdim), lambda i, *_: (0, jnp.maximum(i - 1, 0), 0),
-            memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, 9, ty, xdim), dtype),
             pltpu.VMEM((2, 2, ty, xdim), cdt),
@@ -1060,7 +1093,7 @@ def make_sharded_fused_substep(cfg, yl: int, walls: WallSpec = REFERENCE_WALLS,
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((9, yl, xdim), dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 << 20),
         interpret=interpret,
     )
