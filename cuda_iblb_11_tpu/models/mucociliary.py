@@ -119,8 +119,19 @@ class MucociliarySim:
                 # kernel exposes its row band-1 f1 as the bulk's seam halo
                 # — everything stays inside Mosaic, so the temporal path
                 # remains bit-identical to the single-step kernel.
-                ty0 = min(_pick_tile(band, cfg.xdim, self.dtype.itemsize,
-                                     True), band)
+                # Tile choice minimizes the extended block's TOTAL rows
+                # (band + pad): pad is rounded up to a whole tile, so a
+                # large tile (e.g. 64) would force pad=64 ghost rows when
+                # only K are needed — 33% extra band DMA at K=16.  Among
+                # row-minimal tiles prefer the largest (fewer grid steps).
+                ty_max = min(_pick_tile(band, cfg.xdim, self.dtype.itemsize,
+                                        True), band)
+                align = 16 if self.dtype.itemsize == 2 else 8
+                cands = [t for t in (64, 32, 16, 8)
+                         if t <= ty_max and band % t == 0 and t % align == 0]
+                ty0 = min(cands or [ty_max],
+                          key=lambda t: (band + -(-self.temporal // t) * t,
+                                         -t))
                 pad = -(-self.temporal // ty0) * ty0
                 if cfg.ydim - band < pad:
                     raise ValueError(
@@ -170,12 +181,15 @@ class MucociliarySim:
         else:
             # IB coupling in the MXU-friendly band-matmul form
             # (ops/ib_band.py), mathematically identical to the stencil
-            # gather/scatter (ops/ib.py).
+            # gather/scatter (ops/ib.py).  The delta factors are evaluated
+            # once and shared between interpolate and spread.
+            factors = ib_band.delta_factors(anchored, cfg.xdim, band,
+                                            self.aux_dtype)
             f_s = ib_band.interpolate(f_new, None, u_s, band,
                                       storage=self.storage,
-                                      anchored=anchored)
+                                      factors=factors)
             force_new = ib_band.spread(f_s, None, eps, cfg.xdim, band,
-                                       anchored=anchored)
+                                       factors=factors)
         q_new = q + ib.flux_increment(f_new, force_new, cfg.flux_x,
                                       storage=self.storage)
         return f_new, force_new, q_new
@@ -253,12 +267,13 @@ class MucociliarySim:
         for s in range(K):
             band_ext, bhalo = self._band_substep(flags, band_ext, force,
                                                  zero8, zero8)
-            anchored = (anchor[s], frac[s])
+            factors = ib_band.delta_factors((anchor[s], frac[s]), cfg.xdim,
+                                            band, aux)
             f_s = ib_band.interpolate(band_ext, None, u_s[s], band,
                                       storage=self.storage,
-                                      anchored=anchored)
+                                      factors=factors)
             force = ib_band.spread(f_s, None, eps[s], cfg.xdim, band,
-                                   anchored=anchored).astype(force.dtype)
+                                   factors=factors).astype(force.dtype)
             flux_band = flux_band + ib.flux_increment(
                 band_ext[:, :band], force, cfg.flux_x, storage=self.storage)
             bhalos.append(bhalo)

@@ -259,6 +259,7 @@ def _pipelined_kernel(
     *refs,
     ydim, xdim, ty, band_tiles, tau, tau2, forcing, walls, storage,
     cdt=jnp.float32, align=8, sharded=False, band=None, expose_row=None,
+    emit_moments=False, flux_lane=None,
 ):
     """Lag-1 software-pipelined variant with an f1 ring.
 
