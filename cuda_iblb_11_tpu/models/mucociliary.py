@@ -98,12 +98,16 @@ class MucociliarySim:
                 "the strict-parity IB x-edge mode is not supported with "
                 "temporal blocking")
         self.ib_x_edge = ib_x_edge
+        # With the band-matmul IB path the fused kernel also emits the band
+        # moments and flux-column partials from its in-register streamed
+        # planes (emit_moments), so the step never re-reads f_new from HBM.
+        self._emit = backend == "pallas" and ib_x_edge == "periodic"
         if backend == "pallas":
             from cuda_iblb_11_tpu.ops.pallas_step import make_fused_substep
 
             self._lb_substep = make_fused_substep(
                 cfg, walls, self.dtype, forcing=forcing,
-                storage=self.storage)
+                storage=self.storage, emit_moments=self._emit)
             if self.temporal > 1:
                 from cuda_iblb_11_tpu.ops.pallas_step import (
                     _pick_tile, make_sharded_fused_substep,
@@ -141,7 +145,7 @@ class MucociliarySim:
                 self._band_substep = make_sharded_fused_substep(
                     cfg, band + pad, walls, self.dtype, forcing=forcing,
                     storage=self.storage, tile_y=ty0,
-                    expose_f1_row=band - 1)
+                    expose_f1_row=band - 1, emit_moments=True)
                 self._bulk_substep = make_temporal_bulk_substep(
                     cfg, cfg.ydim - band, self.temporal, walls, self.dtype,
                     forcing=forcing, storage=self.storage)
@@ -170,8 +174,11 @@ class MucociliarySim:
         strict-parity quirk mode additionally receives the raw positions s
         and uses the stencil gather/scatter forms."""
         cfg = self.cfg
-        f_new = self._lb_substep(f, force)
         band = cfg.force_band
+        if self._emit:
+            f_new, q_band, fluxcol = self._lb_substep(f, force)
+        else:
+            f_new = self._lb_substep(f, force)
         if self.ib_x_edge == "reference":
             # quirk-exact x-edge treatment (ops/ib.py docstring)
             f_s = ib.interpolate_from_f(f_new, s, u_s, storage=self.storage,
@@ -185,13 +192,19 @@ class MucociliarySim:
             # once and shared between interpolate and spread.
             factors = ib_band.delta_factors(anchored, cfg.xdim, band,
                                             self.aux_dtype)
-            f_s = ib_band.interpolate(f_new, None, u_s, band,
-                                      storage=self.storage,
-                                      factors=factors)
+            if self._emit:
+                f_s = ib_band.interpolate_from_moments(q_band, u_s, factors)
+            else:
+                f_s = ib_band.interpolate(f_new, None, u_s, band,
+                                          storage=self.storage,
+                                          factors=factors)
             force_new = ib_band.spread(f_s, None, eps, cfg.xdim, band,
                                        factors=factors)
-        q_new = q + ib.flux_increment(f_new, force_new, cfg.flux_x,
-                                      storage=self.storage)
+        if self._emit:
+            q_new = q + ib.flux_from_cols(fluxcol, force_new, cfg.flux_x)
+        else:
+            q_new = q + ib.flux_increment(f_new, force_new, cfg.flux_x,
+                                          storage=self.storage)
         return f_new, force_new, q_new
 
     def step(self, state: FlowState) -> FlowState:
@@ -265,17 +278,16 @@ class MucociliarySim:
         bhalos = []
         flux_band = jnp.zeros((), aux)
         for s in range(K):
-            band_ext, bhalo = self._band_substep(flags, band_ext, force,
-                                                 zero8, zero8)
+            band_ext, bhalo, q_band, fluxcol = self._band_substep(
+                flags, band_ext, force, zero8, zero8)
             factors = ib_band.delta_factors((anchor[s], frac[s]), cfg.xdim,
                                             band, aux)
-            f_s = ib_band.interpolate(band_ext, None, u_s[s], band,
-                                      storage=self.storage,
-                                      factors=factors)
+            f_s = ib_band.interpolate_from_moments(q_band, u_s[s], factors)
             force = ib_band.spread(f_s, None, eps[s], cfg.xdim, band,
                                    factors=factors).astype(force.dtype)
-            flux_band = flux_band + ib.flux_increment(
-                band_ext[:, :band], force, cfg.flux_x, storage=self.storage)
+            # band rows only: the pad/ghost rows' flux comes from the bulk
+            flux_band = flux_band + ib.flux_from_cols(
+                fluxcol[:, :band], force, cfg.flux_x)
             bhalos.append(bhalo)
         f_bulk, flux_bulk = self._bulk_substep(f_bulk, jnp.stack(bhalos))
         q = q + flux_band + jnp.sum(flux_bulk) / 192.0

@@ -187,3 +187,20 @@ def flux_increment(f_new, force_new, flux_x, ydim_divisor=192.0,
         fcol = jnp.pad(fcol, (0, ydim - fcol.shape[0]))
     ux = (mom_x + 0.5 * fcol) / rho
     return jnp.sum(ux) / ydim_divisor
+
+
+def flux_from_cols(fluxcol, force_new, flux_x, ydim_divisor=192.0):
+    """Flux sample from KERNEL-EMITTED column partials.
+
+    fluxcol [2, Y, 128] lane 0 holds per-row (rho, mom_x) at the flux
+    column (ops/pallas_step.py, emit_moments=True; storage adjustment
+    already applied in-kernel).  Combines with the NEW force's half-force
+    correction exactly like flux_increment (ImmersedBoundary.cu:249-264)
+    without the whole-array lane slice of f."""
+    rho = fluxcol[0, :, 0]
+    mom_x = fluxcol[1, :, 0]
+    fcol = force_new[0, :, flux_x].astype(fluxcol.dtype)
+    ydim = rho.shape[0]
+    if fcol.shape[0] < ydim:
+        fcol = jnp.pad(fcol, (0, ydim - fcol.shape[0]))
+    return jnp.sum((mom_x + 0.5 * fcol) / rho) / ydim_divisor

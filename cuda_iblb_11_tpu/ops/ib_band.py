@@ -144,6 +144,23 @@ def interpolate(f, s, u_s, band=DEFAULT_BAND, storage="raw", anchored=None,
     return (2.0 * (u_s.astype(cdt).T * i_rho[None] - i_mom)).T  # [Ns, 2]
 
 
+def interpolate_from_moments(q, u_s, factors):
+    """Direct-forcing IB force from KERNEL-EMITTED band moments.
+
+    q [3, band, X] = (rho, mom_x, mom_y) of the streamed state over the
+    force band, produced by the fused kernel's output pass
+    (ops/pallas_step.py, emit_moments=True) — identical values to
+    band_moments(f_new) without re-reading the 9 f planes from HBM.
+    factors = delta_factors(...), shared with spread()."""
+    dy, dx = factors
+    cdt = q.dtype
+    t = jnp.einsum("qyx,kx->qky", q, dx.astype(cdt), precision=_PREC,
+                   preferred_element_type=cdt)            # [3, band, Ns]
+    i_q = jnp.einsum("ky,qky->qk", dy.astype(cdt), t, precision=_PREC,
+                     preferred_element_type=cdt)          # [3, Ns]
+    return (2.0 * (u_s.astype(cdt).T * i_q[0][None] - i_q[1:])).T
+
+
 def spread(f_s, s, eps, xdim, band=DEFAULT_BAND, anchored=None,
            factors=None):
     """Eulerian band force field [2, band, X] — one matmul

@@ -285,23 +285,28 @@ def _pipelined_kernel(
         s+  = w (cu (c.g)/cs^4 - (u.g)/cs^2),            s-  = w (c.g)/cs^2
     """
     f1out = None
+    q_out = flux_out = None
+    rs = list(refs)
     if sharded:
         # (flags via scalar prefetch: [y0_rows, is_bottom, is_top];
         #  bhalo/thalo: f1 halo rows from the neighbour shards, row 0 used)
+        flags, f_hbm, force_hbm, bhalo, thalo, out_ref = rs[:6]
+        rs = rs[6:]
         if expose_row is not None:
-            (flags, f_hbm, force_hbm, bhalo, thalo, out_ref, f1out,
-             fsl, fosl, f1sl, sem) = refs
-        else:
-            (flags, f_hbm, force_hbm, bhalo, thalo, out_ref,
-             fsl, fosl, f1sl, sem) = refs
+            f1out = rs.pop(0)
         y0 = pl.multiple_of(flags[0], align)
         is_bottom = flags[1] == 1
         is_top = flags[2] == 1
     else:
-        f_hbm, force_hbm, out_ref, fsl, fosl, f1sl, sem = refs
+        f_hbm, force_hbm, out_ref = rs[:3]
+        rs = rs[3:]
         y0 = 0
         is_bottom = True
         is_top = True
+    if emit_moments:
+        q_out = rs.pop(0)
+        flux_out = rs.pop(0)
+    fsl, fosl, f1sl, sem = rs
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0) - 1
 
@@ -448,6 +453,8 @@ def _pipelined_kernel(
         rc = j % 3
         rn = (j + 1) % 3
 
+        if emit_moments:
+            planes = [None] * 9
         for d in range(9):
             cx, cy = CX[d], CY[d]
             if cy == 0:
@@ -471,38 +478,95 @@ def _pipelined_kernel(
                     [f1sl[rc, d, 1:ty, :], next_row], axis=0)
             if cx != 0:
                 rows = jnp.roll(rows, cx, axis=-1)  # periodic "thru" stream
-            out_ref[d] = rows.astype(out_ref.dtype)
+            if emit_moments:
+                planes[d] = rows
+            else:
+                out_ref[d] = rows.astype(out_ref.dtype)
 
         # Wall fixups (LatticeBoltzmann.cu:328-353): same-cell permuted
         # populations of tile j's own f1 rows.
+        if walls.top == "slip":       # specular: 4<-2, 8<-5, 7<-6
+            top_pairs = ((4, 2), (8, 5), (7, 6))
+        elif walls.top == "noslip":   # bounce-back: 4<-2, 7<-5, 8<-6
+            top_pairs = ((4, 2), (7, 5), (8, 6))
+        else:
+            top_pairs = ()
+        bot_pairs = (((2, 4), (5, 7), (6, 8))
+                     if walls.bottom == "noslip" else ())
         odt = out_ref.dtype
-        if walls.bottom == "noslip":
-            @pl.when(jnp.logical_and(j == 0, is_bottom)
-                     if sharded else (j == 0))
-            def _bottom():
-                out_ref[2, 0:1, :] = f1sl[rc, 4, 0:1, :].astype(odt)
-                out_ref[5, 0:1, :] = f1sl[rc, 7, 0:1, :].astype(odt)
-                out_ref[6, 0:1, :] = f1sl[rc, 8, 0:1, :].astype(odt)
-        if walls.top == "slip":  # specular: 4<-2, 8<-5, 7<-6
-            @pl.when(jnp.logical_and(j == n_tiles - 1, is_top)
-                     if sharded else (j == n_tiles - 1))
-            def _top_slip():
-                out_ref[4, ty - 1:ty, :] = f1sl[rc, 2, ty - 1:ty, :].astype(odt)
-                out_ref[8, ty - 1:ty, :] = f1sl[rc, 5, ty - 1:ty, :].astype(odt)
-                out_ref[7, ty - 1:ty, :] = f1sl[rc, 6, ty - 1:ty, :].astype(odt)
-        elif walls.top == "noslip":  # bounce-back: 4<-2, 7<-5, 8<-6
-            @pl.when(jnp.logical_and(j == n_tiles - 1, is_top)
-                     if sharded else (j == n_tiles - 1))
-            def _top_noslip():
-                out_ref[4, ty - 1:ty, :] = f1sl[rc, 2, ty - 1:ty, :].astype(odt)
-                out_ref[7, ty - 1:ty, :] = f1sl[rc, 5, ty - 1:ty, :].astype(odt)
-                out_ref[8, ty - 1:ty, :] = f1sl[rc, 6, ty - 1:ty, :].astype(odt)
+
+        if not emit_moments:
+            if bot_pairs:
+                @pl.when(jnp.logical_and(j == 0, is_bottom)
+                         if sharded else (j == 0))
+                def _bottom():
+                    for dst, src in bot_pairs:
+                        out_ref[dst, 0:1, :] = f1sl[
+                            rc, src, 0:1, :].astype(odt)
+            if top_pairs:
+                @pl.when(jnp.logical_and(j == n_tiles - 1, is_top)
+                         if sharded else (j == n_tiles - 1))
+                def _top():
+                    for dst, src in top_pairs:
+                        out_ref[dst, ty - 1:ty, :] = f1sl[
+                            rc, src, ty - 1:ty, :].astype(odt)
+            return
+
+        # emit_moments: apply the fixups to the IN-REGISTER planes (same
+        # values, pure data movement) so the emitted moments and flux
+        # partials see the final post-stream state, then write everything
+        # once.
+        at_bot = jnp.logical_and(j == 0, is_bottom) if sharded else (j == 0)
+        at_top = (jnp.logical_and(j == n_tiles - 1, is_top)
+                  if sharded else (j == n_tiles - 1))
+        for dst, src in bot_pairs:
+            fixed = f1sl[rc, src, 0:1, :]
+            planes[dst] = jnp.concatenate(
+                [jnp.where(at_bot, fixed, planes[dst][0:1, :]),
+                 planes[dst][1:ty, :]], axis=0)
+        for dst, src in top_pairs:
+            fixed = f1sl[rc, src, ty - 1:ty, :]
+            planes[dst] = jnp.concatenate(
+                [planes[dst][0:ty - 1, :],
+                 jnp.where(at_top, fixed, planes[dst][ty - 1:ty, :])],
+                axis=0)
+        for d in range(9):
+            out_ref[d] = planes[d].astype(odt)
+
+        # Moments of the streamed state: rho/mom for the IB band tiles
+        # (what ib_band.band_moments would re-read f to compute) ...
+        fsum = planes[0]
+        for d in range(1, 9):
+            fsum = fsum + planes[d]
+        rho = 1.0 + fsum if storage == "deviatoric" else fsum
+        mom_x = (planes[1] - planes[3] + planes[5] - planes[6]
+                 - planes[7] + planes[8])
+        in_band = (y0 + j * ty < band) if sharded else (j < band_tiles)
+
+        @pl.when(in_band)
+        def _emit_q():
+            mom_y = (planes[2] - planes[4] + planes[5] + planes[6]
+                     - planes[7] - planes[8])
+            q_out[0] = rho
+            q_out[1] = mom_x
+            q_out[2] = mom_y
+
+        # ... and the flux-column partials (rho, mom_x at x = flux_lane,
+        # ImmersedBoundary.cu:259-264) for every tile, replacing the
+        # whole-array lane slice outside the kernel.
+        colmask = (jax.lax.broadcasted_iota(jnp.int32, (1, xdim), 1)
+                   == flux_lane).astype(cdt)
+        lane0 = (jax.lax.broadcasted_iota(jnp.int32, (ty, 128), 1)
+                 == 0).astype(cdt)
+        flux_out[0] = jnp.sum(rho * colmask, axis=1, keepdims=True) * lane0
+        flux_out[1] = jnp.sum(mom_x * colmask, axis=1,
+                              keepdims=True) * lane0
 
 
 def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32,
                        forcing: str = "trt_split", interpret: bool | None = None,
                        tile_y: int | None = None, pipeline: bool = True,
-                       storage: str = "raw"):
+                       storage: str = "raw", emit_moments: bool = False):
     """Build the jittable fused (f, force) -> f_new update for a fixed config.
 
     pipeline=True selects the lag-1 software-pipelined kernel (minimal HBM
@@ -510,6 +574,15 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
     kernel.  Requirements: x periodic (the reference's channel), bottom
     no-slip, top slip or no-slip, ydim a multiple of 8.  Other wall
     combinations use the jnp path.
+
+    emit_moments=True (pipelined only): the call returns
+    (f_new, q [3, band, X], fluxcol [2, ydim, 128]) where q holds the
+    streamed state's (rho, mom_x, mom_y) over the IB force band (exactly
+    what ib_band.band_moments would re-read f_new from HBM to compute;
+    storage adjustment already applied) and fluxcol lane 0 holds the
+    per-row (rho, mom_x) at the flux column x = cfg.flux_x (the inputs of
+    ib.flux_increment's column sample, ImmersedBoundary.cu:259-264) — both
+    produced from in-register post-stream planes at zero extra HBM reads.
     """
     if walls.left != "periodic":
         raise NotImplementedError("pallas backend requires periodic x walls")
@@ -560,17 +633,38 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
     out_shape = jax.ShapeDtypeStruct((9, ydim, xdim), dtype)
 
     if pipeline:
+        band_tiles = band // ty
         kernel = functools.partial(
-            _pipelined_kernel, band_tiles=band // ty, cdt=cdt, align=align,
+            _pipelined_kernel, band_tiles=band_tiles, cdt=cdt, align=align,
+            band=band, emit_moments=emit_moments,
+            flux_lane=int(cfg.flux_x) if emit_moments else None,
             **common)
         bytes_total = (11 + 9) * ydim * xdim * dtype.itemsize
+        out_specs = pl.BlockSpec(
+            (9, ty, xdim), lambda i: (0, jnp.maximum(i - 1, 0), 0),
+            memory_space=pltpu.VMEM)
+        out_shape = out_shape
+        if emit_moments:
+            out_specs = [
+                out_specs,
+                pl.BlockSpec(
+                    (3, ty, xdim),
+                    lambda i: (0, jnp.clip(i - 1, 0, band_tiles - 1), 0),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (2, ty, 128), lambda i: (0, jnp.maximum(i - 1, 0), 0),
+                    memory_space=pltpu.VMEM),
+            ]
+            out_shape = [
+                out_shape,
+                jax.ShapeDtypeStruct((3, band, xdim), cdt),
+                jax.ShapeDtypeStruct((2, ydim, 128), cdt),
+            ]
         call = pl.pallas_call(
             kernel,
             grid=(n_tiles + 1,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (9, ty, xdim), lambda i: (0, jnp.maximum(i - 1, 0), 0),
-                memory_space=pltpu.VMEM),
+            out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((2, 9, ty, xdim), dtype),  # f slots
@@ -588,6 +682,9 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
             interpret=interpret,
         )
     else:
+        if emit_moments:
+            raise NotImplementedError(
+                "emit_moments only in the pipelined kernel")
         if dtype.itemsize == 2:
             raise NotImplementedError(
                 "bf16 storage only in the pipelined kernel")
@@ -619,7 +716,8 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
         )
 
     def substep(f, force):
-        return call(f.astype(dtype), force.astype(fdt))
+        out = call(f.astype(dtype), force.astype(fdt))
+        return tuple(out) if emit_moments else out
 
     return substep
 
@@ -1011,13 +1109,19 @@ def make_sharded_fused_substep(cfg, yl: int, walls: WallSpec = REFERENCE_WALLS,
                                interpret: bool | None = None,
                                tile_y: int | None = None,
                                xl: int | None = None,
-                               expose_f1_row: int | None = None):
+                               expose_f1_row: int | None = None,
+                               emit_moments: bool = False):
     """Per-shard fused substep for a sharded domain (parallel/sharded).
 
     expose_f1_row: if set, the call returns a second output [9, 8, xl]
     whose row 0 holds the post-collision f1 of that LOCAL row — the
     temporal-blocking band leg exposes its row band-1 as the bulk
     kernel's seam halo, removing the separate seam collide.
+
+    emit_moments: append (q [3, band, xl], fluxcol [2, yl, 128]) outputs
+    (see make_fused_substep).  Only valid for y0 = 0 blocks that contain
+    the whole force band (the temporal band leg): the q rows are the
+    LOCAL rows [0, band).
 
     The local block is [9, yl, xl] (xl defaults to the full width); the
     force array holds the GLOBAL band rows x the shard's xl columns
@@ -1056,24 +1160,41 @@ def make_sharded_fused_substep(cfg, yl: int, walls: WallSpec = REFERENCE_WALLS,
             f"pallas backend requires local width % 128 == 0 on TPU "
             f"(got {xdim})")
 
+    band_tiles = band // ty
     kernel = functools.partial(
         _pipelined_kernel,
-        ydim=yl, xdim=xdim, ty=ty, band_tiles=band // ty,
+        ydim=yl, xdim=xdim, ty=ty, band_tiles=band_tiles,
         tau=float(cfg.tau), tau2=float(cfg.tau2), forcing=forcing,
         walls=walls, storage=storage, cdt=cdt, align=align,
         sharded=True, band=band, expose_row=expose_f1_row,
+        emit_moments=emit_moments,
+        flux_lane=int(cfg.flux_x) if emit_moments else None,
     )
     out_specs = pl.BlockSpec(
         (9, ty, xdim), lambda i, *_: (0, jnp.maximum(i - 1, 0), 0),
         memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((9, yl, xdim), dtype)
+    if expose_f1_row is not None or emit_moments:
+        out_specs = [out_specs]
+        out_shape = [out_shape]
     if expose_f1_row is not None:
         if not 0 <= expose_f1_row < yl:
             raise ValueError("expose_f1_row outside the local block")
-        out_specs = [out_specs,
-                     pl.BlockSpec((9, 8, xdim), lambda i, *_: (0, 0, 0),
-                                  memory_space=pltpu.VMEM)]
-        out_shape = [out_shape, jax.ShapeDtypeStruct((9, 8, xdim), cdt)]
+        out_specs.append(pl.BlockSpec((9, 8, xdim), lambda i, *_: (0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((9, 8, xdim), cdt))
+    if emit_moments:
+        if yl < band:
+            raise ValueError("emit_moments needs the whole band in-block")
+        out_specs.append(pl.BlockSpec(
+            (3, ty, xdim),
+            lambda i, *_: (0, jnp.clip(i - 1, 0, band_tiles - 1), 0),
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((3, band, xdim), cdt))
+        out_specs.append(pl.BlockSpec(
+            (2, ty, 128), lambda i, *_: (0, jnp.maximum(i - 1, 0), 0),
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((2, yl, 128), cdt))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles + 1,),
