@@ -4,11 +4,15 @@ fused Pallas collide+stream + IB cilia coupling + cumulative flux).
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "MLUPS", "vs_baseline": N}
 
-The primary mode is float32 with K=16 temporal blocking (K LB steps per HBM
-pass over the force-free rows above the IB band) — bit-exact on TPU against
-the single-step fused kernel, so the f32 accuracy validation (velocity L2
-vs the f64 oracle, tests/test_pallas.py + tests/test_accuracy_horizon.py)
-applies unchanged.
+The primary mode is float32 with K=16 temporal blocking (K LB steps per
+HBM pass over the force-free rows above the IB band) and the resident-band
+IB super-kernel (all K band sub-steps + IB coupling in one Pallas launch,
+ops/pallas_step.make_band_super_substep).  The super-kernel re-associates
+the IB contractions (per-cilium windows instead of dense band matmuls), so
+it is NOT bit-exact vs the single-step fused kernel; its f32 accuracy vs
+the f64 oracle is enforced in tests/test_accuracy_horizon.py and the
+measured deviation from the single-step path is printed as a diagnostic
+below.
 
 vs_baseline is against the reference's derived throughput of ~0.62 MLUPS
 (SimLog_nom.txt: 100k iterations on 300x200 in 9,636 s — BASELINE.md).
@@ -81,6 +85,13 @@ def main():
                 log(f"secondary: f32 single-step "
                     f"{cfg.size * steps / dt1 / 1e6:.0f} MLUPS")
                 u_f32 = corrected_velocity_of(s1, st1)
+                u_sup = corrected_velocity_of(sim, state)
+                rel_sup = float(jnp.linalg.norm(u_sup - u_f32)
+                                / jnp.linalg.norm(u_f32))
+                log(f"secondary: temporal-super vs single-step velocity "
+                    f"rel-L2 @{2 * steps} steps: {rel_sup:.2e} "
+                    f"(f32 reassociation drift; see "
+                    f"tests/test_accuracy_horizon.py)")
             except Exception as e:  # noqa: BLE001
                 log(f"single-step secondary failed: {e!r}")
                 u_f32 = corrected_velocity_of(sim, state)

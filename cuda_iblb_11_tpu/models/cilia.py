@@ -271,6 +271,21 @@ class CiliaModel:
         frac = (ab - anchor).astype(self.dtype)
         return anchor.astype(jnp.int32), frac
 
+    def beat_x_bound(self) -> float:
+        """Rigorous upper bound on |beat-frame x| over ALL phases, per node,
+        maximized over nodes:  |x(arcl, phi)| = 111*|a0/2 + sum a_n cos +
+        b_n sin| <= 111*(|a0|/2 + sum_n sqrt(a_n^2 + b_n^2)) by
+        Cauchy-Schwarz on each harmonic.  Used to prove every cilium's
+        delta support stays inside its own c_space-wide window (the
+        windowed IB fast path, ops/pallas_step.make_band_super_substep)."""
+        import numpy as np
+
+        a = np.asarray(self.a_pre, np.float64)[:, :, 0]  # [nodes, 7] x-coord
+        b = np.asarray(self.b_pre, np.float64)[:, :, 0]
+        per_node = np.abs(a[:, 0]) / 2.0 + np.sqrt(
+            a[:, 1:] ** 2 + b[:, 1:] ** 2).sum(axis=1)
+        return float(BEAT_SCALE * per_node.max())
+
     def boundary_state(self, it, lasts):
         """Full cilia substep: kinematics -> placement -> mask."""
         pos, vel, lasts_new = self.kinematics(it, lasts)

@@ -110,11 +110,27 @@ class MucociliarySim:
                 storage=self.storage, emit_moments=self._emit)
             if self.temporal > 1:
                 from cuda_iblb_11_tpu.ops.pallas_step import (
-                    _pick_tile, make_sharded_fused_substep,
-                    make_temporal_bulk_substep,
+                    _pick_tile, make_band_super_substep,
+                    make_sharded_fused_substep, make_temporal_bulk_substep,
                 )
 
                 band = cfg.force_band
+                # Preferred band leg: the resident-band super-kernel (ONE
+                # launch for all K band sub-steps + IB coupling, band held
+                # in VMEM).  Falls back to the per-sub-step kernel + XLA IB
+                # when its structural requirements don't hold (c_space not
+                # lane-aligned, >128 nodes, window wider than the domain).
+                self._band_super = None
+                try:
+                    pad_s = -(-self.temporal // 8) * 8
+                    if cfg.ydim - band < pad_s:
+                        raise ValueError("ydim too small for ghost pad")
+                    self._band_super = make_band_super_substep(
+                        cfg, pad_s, self.temporal, walls, self.dtype,
+                        forcing=forcing, storage=self.storage)
+                    self._band_pad_s = pad_s
+                except ValueError:
+                    self._band_super = None
                 # The band leg runs on an EXTENDED block: the band plus a
                 # `pad`-row throwaway copy of the bulk bottom (the classic
                 # temporal-blocking ghost trapezoid: the kernel's top halo
@@ -253,6 +269,53 @@ class MucociliarySim:
                          lasts=pos[-1].astype(self.aux_dtype), q=q,
                          it=state.it + n_steps)
 
+    def _prep_super_points(self, u_s, eps, anchor, frac, n_super):
+        """Reshape per-step point data [n, Ns, ...] into the band
+        super-kernel's layout: per-cilium 128-point blocks (nodes padded
+        96->128 with inert values), x anchors WINDOW-LOCAL
+        (anchor_x - (m*c_space - halo)), split [n_super, K, ...]."""
+        cfg = self.cfg
+        K = self.temporal
+        n = n_super * K
+        c, ln = cfg.c_num, cfg.length
+        halo = self._band_super.halo
+        pad = 128 - ln
+
+        def blk(x, fill):
+            x = x.reshape((n, c, ln) + x.shape[2:])
+            widths = [(0, 0), (0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 3)
+            return jnp.pad(x, widths, constant_values=fill)
+
+        wstart = (jnp.arange(c, dtype=jnp.int32) * cfg.c_space
+                  - jnp.int32(halo))[None, :, None]
+        axl = blk(anchor[..., 0], 0) - wstart
+        axl = jnp.where(
+            jnp.arange(128)[None, None, :] < ln, axl, jnp.int32(-20000))
+        ay = blk(anchor[..., 1], -20000)
+        fx = blk(frac[..., 0], 0.0)
+        fy = blk(frac[..., 1], 0.0)
+        us = jnp.moveaxis(blk(u_s, 0.0), -1, 1)     # [n, 2, c, 128]
+        ep = blk(eps.astype(self.aux_dtype), 0.0)
+
+        def rs(x):
+            return x.reshape((n_super, K) + x.shape[1:])
+
+        return tuple(rs(x) for x in (us, ep, axl, fx, ay, fy))
+
+    def _temporal_super_step_fused(self, f_band, f_bulk, force, q, xs):
+        """One-launch band leg: all K band sub-steps + IB coupling inside
+        the resident-band super-kernel; the bulk advances K steps in the
+        temporal kernel as before."""
+        cfg = self.cfg
+        us, ep, axl, fx, ay, fy = xs
+        band_ext = jnp.concatenate(
+            [f_band, f_bulk[:, :self._band_pad_s, :]], axis=1)
+        f_band, bhalos, force, flux_band = self._band_super(
+            band_ext, force, us, ep, axl, fx, ay, fy)
+        f_bulk, flux_bulk = self._bulk_substep(f_bulk, bhalos)
+        q = q + (jnp.sum(flux_band) + jnp.sum(flux_bulk)) / 192.0
+        return f_band, f_bulk, force.astype(self.aux_dtype), q
+
     def _temporal_super_step(self, f_band, f_bulk, force, q, xs):
         """K fluid+IB steps: the band region (rows [0, force_band)) runs
         K single sub-steps through the fused band kernel with full IB
@@ -316,12 +379,19 @@ class MucociliarySim:
         f_band = state.f[:, :band]
         f_bulk = state.f[:, band:]
 
-        def body(carry, xs):
-            return self._temporal_super_step(*carry, xs), None
+        if self._band_super is not None:
+            xs_all = self._prep_super_points(u_s, eps, anchor, frac, n_super)
+
+            def body(carry, xs):
+                return self._temporal_super_step_fused(*carry, xs), None
+        else:
+            xs_all = (rs(u_s), rs(eps), rs(anchor), rs(frac))
+
+            def body(carry, xs):
+                return self._temporal_super_step(*carry, xs), None
 
         (f_band, f_bulk, force, q), _ = jax.lax.scan(
-            body, (f_band, f_bulk, state.force, state.q),
-            (rs(u_s), rs(eps), rs(anchor), rs(frac)))
+            body, (f_band, f_bulk, state.force, state.q), xs_all)
         return FlowState(f=jnp.concatenate([f_band, f_bulk], axis=1),
                          force=force, lasts=pos[-1].astype(self.aux_dtype),
                          q=q, it=state.it + n_steps)

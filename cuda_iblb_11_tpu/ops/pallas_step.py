@@ -1103,6 +1103,279 @@ def make_temporal_bulk_substep(cfg, n_rows: int, n_steps: int,
     return substep
 
 
+def _band_super_kernel(
+    f_in, force_in, us_ref, eps_ref, axl_ref, fx_ref, ay_ref, fy_ref,
+    fband_out, bh_out, force_out, flux_out,
+    fsc, f1sc, fosc, fpad, sem,
+    *, rows, band, xdim, n_steps, c_num, cw, halo, npt, tau, tau2,
+    forcing, storage, flux_lane, cdt, walls,
+):
+    """Resident-band temporal super-kernel: ALL K band sub-steps plus the
+    full IB coupling in ONE launch (see make_band_super_substep)."""
+    from cuda_iblb_11_tpu.ops.ib import delta_1d
+
+    s = pl.program_id(0)
+    K = n_steps
+    W = cw + 2 * halo  # per-cilium window width (128-aligned)
+
+    @pl.when(s == 0)
+    def _load():
+        pltpu.make_async_copy(f_in, fsc, sem.at[0]).start()
+        pltpu.make_async_copy(force_in, fosc, sem.at[1]).start()
+        pltpu.make_async_copy(f_in, fsc, sem.at[0]).wait()
+        pltpu.make_async_copy(force_in, fosc, sem.at[1]).wait()
+
+    # --- collide the whole extended block (force only below `band`) ------
+    gx = fosc[0].astype(cdt)
+    gy = fosc[1].astype(cdt)
+    fA = [fsc[d, :band].astype(cdt) for d in range(9)]
+    f1A, _, _ = _collide_tile(fA, gx, gy, tau=tau, tau2=tau2,
+                              forcing=forcing, storage=storage)
+    for d in range(9):
+        f1sc[d, :band] = f1A[d]
+    fB = [fsc[d, band:].astype(cdt) for d in range(9)]
+    f1B, _, _ = _collide_tile(fB, None, None, tau=tau, tau2=tau2,
+                              forcing=forcing, storage=storage)
+    for d in range(9):
+        f1sc[d, band:] = f1B[d]
+
+    # seam halo for the bulk kernel: post-collision f1 of row band-1
+    bh_out[0] = jnp.zeros((9, 8, xdim), bh_out.dtype)
+    for d in range(9):
+        bh_out[0, d, 0:1, :] = f1sc[d, band - 1:band, :]
+
+    # --- pull-form stream, in place; band moments accumulated in-register
+    fsum = mom_x = mom_y = None
+    for d in range(9):
+        cx, cy = CX[d], CY[d]
+        f1d = f1sc[d]
+        if cy == 0:
+            new = f1d
+        elif cy == 1:
+            # row r pulls r-1; row 0 garbage, overwritten by the wall fixup
+            # below (cy=1 dirs are exactly the bottom-wall-fixed 2/5/6)
+            new = jnp.concatenate([f1d[0:1], f1d[:rows - 1]], axis=0)
+        else:
+            # row r pulls r+1; the garbage top row is the ghost trapezoid
+            new = jnp.concatenate([f1d[1:], f1d[rows - 1:rows]], axis=0)
+        if cx != 0:
+            new = jnp.roll(new, cx, axis=-1)
+        if walls.bottom == "noslip" and cy == 1:
+            opp = {2: 4, 5: 7, 6: 8}[d]
+            new = jnp.concatenate([f1sc[opp, 0:1, :], new[1:]], axis=0)
+        fsc[d] = new.astype(fsc.dtype)
+        nb = new[:band]
+        fsum = nb if fsum is None else fsum + nb
+        if CX[d] == 1:
+            mom_x = nb if mom_x is None else mom_x + nb
+        elif CX[d] == -1:
+            mom_x = mom_x - nb
+        if CY[d] == 1:
+            mom_y = nb if mom_y is None else mom_y + nb
+        elif CY[d] == -1:
+            mom_y = mom_y - nb
+    rho = 1.0 + fsum if storage == "deviatoric" else fsum
+
+    # padded moment planes: halo columns wrap periodically so a window
+    # slice sees exactly the min-image delta neighbourhood
+    def padx(p):
+        return jnp.concatenate([p[:, xdim - halo:], p, p[:, :halo]], axis=1)
+
+    qpad = [padx(rho), padx(mom_x), padx(mom_y)]
+    fpad[...] = jnp.zeros_like(fpad)
+
+    # --- IB coupling, one 128-wide point block per cilium ----------------
+    yy = jax.lax.broadcasted_iota(jnp.int32, (band, npt), 0)
+    for m in range(c_num):
+        ay_m = ay_ref[s, m].reshape(1, npt)
+        fy_m = fy_ref[s, m].reshape(1, npt).astype(cdt)
+        dy = delta_1d(jnp.abs((yy - ay_m).astype(cdt) - fy_m))  # [band,npt]
+        ax_m = axl_ref[s, m].reshape(npt, 1)
+        fx_m = fx_ref[s, m].reshape(npt, 1).astype(cdt)
+        ww = jax.lax.broadcasted_iota(jnp.int32, (npt, W), 1)
+        dxw = delta_1d(jnp.abs((ww - ax_m).astype(cdt) - fx_m))  # [npt,W]
+        lo = m * cw  # window start within qpad (= m*cw - halo + halo)
+        iq = []
+        for p in qpad:
+            t2 = jax.lax.dot_general(
+                p[:, lo:lo + W], dxw, (((1,), (1,)), ((), ())),
+                preferred_element_type=cdt)             # [band, npt]
+            iq.append(jnp.sum(dy * t2, axis=0, keepdims=True))  # [1, npt]
+        us_x = us_ref[s, 0, m].reshape(1, npt).astype(cdt)
+        us_y = us_ref[s, 1, m].reshape(1, npt).astype(cdt)
+        em = eps_ref[s, m].reshape(1, npt).astype(cdt)
+        a_x = (2.0 * (us_x * iq[0] - iq[1])) * em       # [1, npt]
+        a_y = (2.0 * (us_y * iq[0] - iq[2])) * em
+        sx = jax.lax.dot_general(dy * a_x, dxw, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=cdt)  # [band, W]
+        sy = jax.lax.dot_general(dy * a_y, dxw, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=cdt)
+        fpad[0, :, lo:lo + W] = fpad[0, :, lo:lo + W] + sx
+        fpad[1, :, lo:lo + W] = fpad[1, :, lo:lo + W] + sy
+
+    # circular fold of the overlap-add halos -> new force field
+    for c in range(2):
+        mid = fpad[c, :, halo:halo + xdim]
+        left = fpad[c, :, :halo]    # wraps onto the right end
+        right = fpad[c, :, halo + xdim:]  # wraps onto the left end
+        folded = jnp.concatenate(
+            [mid[:, :halo] + right, mid[:, halo:xdim - halo],
+             mid[:, xdim - halo:] + left], axis=1)
+        fosc[c] = folded
+
+    # --- flux-column partial (band rows; force correction included) ------
+    bs = (flux_lane // 128) * 128
+    lmask = (jax.lax.broadcasted_iota(jnp.int32, (band, 128), 1)
+             == (flux_lane - bs)).astype(cdt)
+    ux_b = ((mom_x[:, bs:bs + 128] + 0.5 * fosc[0, :, bs:bs + 128])
+            / rho[:, bs:bs + 128])
+    onehot = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+               + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1))
+              == 0).astype(cdt)
+    flux_out[0] = jnp.sum(ux_b * lmask) * onehot
+
+    @pl.when(s == K - 1)
+    def _finish():
+        for d in range(9):
+            fband_out[d] = fsc[d, :band]
+        force_out[...] = fosc[...]
+
+
+def make_band_super_substep(cfg, pad: int, n_steps: int,
+                            walls: WallSpec = REFERENCE_WALLS,
+                            dtype=jnp.float32, forcing: str = "trt_split",
+                            storage: str = "raw",
+                            interpret: bool | None = None):
+    """Resident-band temporal super-step: K band sub-steps + IB coupling in
+    ONE Pallas launch.
+
+    The per-sub-step band leg previously cost a kernel launch (re-reading
+    the whole extended band from HBM) plus XLA-side delta factors, band
+    matmuls, spreading and the flux combine.  Here the extended band
+    (band + pad ghost rows of the bulk bottom) lives in VMEM for the whole
+    super-step; each grid step s
+      1. collides the block (force below `band`, none above), exposing the
+         f1 of row band-1 as the bulk kernel's seam halo bhalos[s];
+      2. streams in place (bottom wall fixup; the garbage top row is the
+         standard ghost trapezoid, never reaching the band within K steps),
+         accumulating the band moments (rho, mom) in-register;
+      3. evaluates the IB coupling per cilium on 128-point blocks: the
+         separable delta factors are built on the VPU from the anchored
+         point coordinates, and interpolation/spreading are per-cilium
+         [band, W] x [W, 128] MXU contractions over a W = c_space + 2*halo
+         column window around the cilium base (the beat envelope bound,
+         models/cilia.beat_x_bound, proves each cilium's delta support
+         stays inside its window; window overlaps are summed and folded
+         periodically — exactly the min-image dense form, re-associated);
+      4. samples the flux column (half-force corrected, band rows).
+
+    HBM traffic per super-step: ONE read + write of the band instead of K.
+
+    Returns substep(f_ext, force, u_s, eps, axl, fx, ay, fy) ->
+    (f_band [9,band,X], bhalos [K,9,8,X], force [2,band,X], flux [K])
+    with point arrays laid out [K, (2,)? c_num, 128] (nodes padded 96->128;
+    axl is the WINDOW-LOCAL anchor x: anchor_x - (m*c_space - halo)).
+    """
+    xdim = cfg.xdim
+    band = cfg.force_band
+    K = int(n_steps)
+    rows = band + pad
+    dtype = jnp.dtype(dtype)
+    cdt = jnp.dtype(jnp.float32) if dtype.itemsize < 4 else dtype
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cw = cfg.c_space
+    if not interpret and cw % 128:
+        raise ValueError("band super-kernel requires c_space % 128 == 0")
+    if cfg.length > 128:
+        raise ValueError("band super-kernel requires <= 128 nodes/cilium")
+    npt = 128
+    c_num = cfg.c_num
+    if pad < K:
+        raise ValueError("ghost pad must cover K sub-steps")
+    # halo such that every window [m*cw - halo, (m+1)*cw + halo) provably
+    # contains its cilium's delta support (beat envelope + |frac| + 1.5,
+    # rounded up with 1 cell of slack)
+    from cuda_iblb_11_tpu.models.cilia import CiliaModel
+
+    bound = CiliaModel(cfg, dtype=cdt).beat_x_bound() + 3.0
+    halo = max(0, -(-int(bound - cw / 2 + 1) // 128) * 128) \
+        if bound > cw / 2 else 0
+    if not interpret and halo % 128:
+        raise ValueError("window halo must be 128-aligned")
+    if cw + 2 * halo > xdim:
+        raise ValueError("cilium window exceeds the domain width")
+
+    kernel = functools.partial(
+        _band_super_kernel,
+        rows=rows, band=band, xdim=xdim, n_steps=K, c_num=c_num, cw=cw,
+        halo=halo, npt=npt, tau=float(cfg.tau), tau2=float(cfg.tau2),
+        forcing=forcing, storage=storage, flux_lane=int(cfg.flux_x),
+        cdt=cdt, walls=walls,
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # f_ext
+            pl.BlockSpec(memory_space=pl.ANY),       # force
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # u_s [K,2,c,128]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # eps [K,c,128]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # axl int32
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # fx
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ay int32
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # fy
+        ],
+        out_specs=[
+            pl.BlockSpec((9, band, xdim), lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, 8, xdim), lambda s: (s, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, band, xdim), lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, band, xdim), dtype),
+            jax.ShapeDtypeStruct((K, 9, 8, xdim), cdt),
+            jax.ShapeDtypeStruct((2, band, xdim), cdt),
+            jax.ShapeDtypeStruct((K, 8, 128), cdt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9, rows, xdim), dtype),          # f state
+            pltpu.VMEM((9, rows, xdim), cdt),            # f1
+            pltpu.VMEM((2, band, xdim), cdt),            # force
+            pltpu.VMEM((2, band, xdim + 2 * halo), cdt),  # overlap-add pad
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                (9 * rows * (dtype.itemsize + cdt.itemsize)
+                 + 9 * band * dtype.itemsize
+                 + 8 * band * cdt.itemsize
+                 + 2 * band * 2 * cdt.itemsize
+                 + 14 * band * cdt.itemsize) * xdim + (24 << 20),
+                110 << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=int(rows * xdim * 200 * K),
+            bytes_accessed=int(20 * rows * xdim * dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    def substep(f_ext, force, u_s, eps, axl, fx, ay, fy):
+        f_band, bhalos, force_new, flux = call(
+            f_ext.astype(dtype), force.astype(cdt), u_s.astype(cdt),
+            eps.astype(cdt), axl.astype(jnp.int32), fx.astype(cdt),
+            ay.astype(jnp.int32), fy.astype(cdt))
+        return f_band, bhalos, force_new, flux[:, 0, 0]
+
+    substep.halo = halo
+    return substep
+
+
 def make_sharded_fused_substep(cfg, yl: int, walls: WallSpec = REFERENCE_WALLS,
                                dtype=jnp.float32, forcing: str = "trt_split",
                                storage: str = "raw",

@@ -64,3 +64,21 @@ def test_bf16_fast_mode_noise_bound():
     stb = sb.run_chunk(sb.init_state(), 500)
     l2 = _rel_l2(_velocity(sb, stb), _velocity(s64, st64))
     assert 1e-4 < l2 < 5e-2, l2
+
+def test_band_super_f32_velocity_error_500_steps():
+    """The resident-band super-kernel (benchmark primary mode) re-associates
+    the IB contractions, so its f32 accuracy must be established directly:
+    measured 1.927e-6 vs the f64 oracle @500 steps (2026-08-16) —
+    indistinguishable from the per-sub-step fallback's 1.928e-6 — on the
+    smallest domain whose c_space=128 windows fit (384x256)."""
+    cfg64 = SimConfig(c_num=3, c_space=128, ydim=256, dtype="float64",
+                      storage="raw")
+    s64 = MucociliarySim(cfg64, backend="jnp")
+    st64 = s64.run_chunk(s64.init_state(), 500)
+
+    ssup = MucociliarySim(cfg64.replace(dtype="float32", storage="auto"),
+                          backend="pallas", temporal=4)
+    assert ssup._band_super is not None, "super path should engage here"
+    stsup = ssup.run_chunk(ssup.init_state(), 500)
+    l2 = _rel_l2(_velocity(ssup, stsup), _velocity(s64, st64))
+    assert l2 < 1.0e-5, l2  # the BASELINE bound at bench horizon
