@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="npz: single host-gathered archive; orbax: sharded "
                         "(each host writes its own shards, resume restores "
                         "directly onto the mesh).  --resume auto-detects")
+    p.add_argument("--ydim", type=int, default=None,
+                   help="override the channel height (default 192, "
+                        "main.cu:271) — e.g. for scale-out runs where "
+                        "each y-shard needs >= force_band + 16 rows")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the first interval")
@@ -76,6 +80,8 @@ def main(argv=None) -> int:
         return 1
     if args.dtype:
         cfg = cfg.replace(dtype=args.dtype)
+    if args.ydim:
+        cfg = cfg.replace(ydim=args.ydim)
     run(cfg, output_root=args.output, backend=args.backend,
         forcing=args.forcing, resume_from=args.resume,
         checkpoint_every=args.checkpoint_every, quiet=args.quiet,

@@ -35,6 +35,40 @@ from cuda_iblb_11_tpu.ops import ib, ib_band
 from cuda_iblb_11_tpu.ops import reference as ref
 
 
+def prep_band_super_points(cfg, K, halo, aux_dtype, u_s, eps, anchor, frac,
+                           n_super):
+    """Reshape per-step point data [n, Ns, ...] into the band
+    super-kernel's layout (ops/pallas_step.make_band_super_substep):
+    per-cilium 128-point blocks (nodes padded 96->128 with inert values),
+    x anchors WINDOW-LOCAL (anchor_x - (m*c_space - halo)), split
+    [n_super, K, ...].  Shared by the single-chip temporal path and the
+    sharded communication-avoiding path (parallel/sharded)."""
+    n = n_super * K
+    c, ln = cfg.c_num, cfg.length
+    pad = 128 - ln
+
+    def blk(x, fill):
+        x = x.reshape((n, c, ln) + x.shape[2:])
+        widths = [(0, 0), (0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 3)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    wstart = (jnp.arange(c, dtype=jnp.int32) * cfg.c_space
+              - jnp.int32(halo))[None, :, None]
+    axl = blk(anchor[..., 0], 0) - wstart
+    axl = jnp.where(
+        jnp.arange(128)[None, None, :] < ln, axl, jnp.int32(-20000))
+    ay = blk(anchor[..., 1], -20000)
+    fx = blk(frac[..., 0], 0.0)
+    fy = blk(frac[..., 1], 0.0)
+    us = jnp.moveaxis(blk(u_s, 0.0), -1, 1)     # [n, 2, c, 128]
+    ep = blk(eps.astype(aux_dtype), 0.0)
+
+    def rs(x):
+        return x.reshape((n_super, K) + x.shape[1:])
+
+    return tuple(rs(x) for x in (us, ep, axl, fx, ay, fy))
+
+
 class MucociliarySim:
     def __init__(
         self,
@@ -270,37 +304,9 @@ class MucociliarySim:
                          it=state.it + n_steps)
 
     def _prep_super_points(self, u_s, eps, anchor, frac, n_super):
-        """Reshape per-step point data [n, Ns, ...] into the band
-        super-kernel's layout: per-cilium 128-point blocks (nodes padded
-        96->128 with inert values), x anchors WINDOW-LOCAL
-        (anchor_x - (m*c_space - halo)), split [n_super, K, ...]."""
-        cfg = self.cfg
-        K = self.temporal
-        n = n_super * K
-        c, ln = cfg.c_num, cfg.length
-        halo = self._band_super.halo
-        pad = 128 - ln
-
-        def blk(x, fill):
-            x = x.reshape((n, c, ln) + x.shape[2:])
-            widths = [(0, 0), (0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 3)
-            return jnp.pad(x, widths, constant_values=fill)
-
-        wstart = (jnp.arange(c, dtype=jnp.int32) * cfg.c_space
-                  - jnp.int32(halo))[None, :, None]
-        axl = blk(anchor[..., 0], 0) - wstart
-        axl = jnp.where(
-            jnp.arange(128)[None, None, :] < ln, axl, jnp.int32(-20000))
-        ay = blk(anchor[..., 1], -20000)
-        fx = blk(frac[..., 0], 0.0)
-        fy = blk(frac[..., 1], 0.0)
-        us = jnp.moveaxis(blk(u_s, 0.0), -1, 1)     # [n, 2, c, 128]
-        ep = blk(eps.astype(self.aux_dtype), 0.0)
-
-        def rs(x):
-            return x.reshape((n_super, K) + x.shape[1:])
-
-        return tuple(rs(x) for x in (us, ep, axl, fx, ay, fy))
+        return prep_band_super_points(
+            self.cfg, self.temporal, self._band_super.halo, self.aux_dtype,
+            u_s, eps, anchor, frac, n_super)
 
     def _temporal_super_step_fused(self, f_band, f_bulk, force, q, xs):
         """One-launch band leg: all K band sub-steps + IB coupling inside

@@ -1376,6 +1376,309 @@ def make_band_super_substep(cfg, pad: int, n_steps: int,
     return substep
 
 
+def _ghost_temporal_kernel(
+    flags, f_hbm, bot_hbm, top_hbm, bhalos, out_ref, flux_ref, fsl, rings,
+    sem,
+    *, yl, xdim, ty, n_steps, band, tau, tau2, forcing, walls, storage,
+    flux_lane, cdt, align=8,
+):
+    """Communication-avoiding K-step kernel for one y-shard's rows.
+
+    The shard's block is extended by `pad == ty` ghost rows on each side
+    (ppermuted from the y-neighbours ONCE per K steps instead of a halo
+    row per step).  Ghost rows evolve force-free without seam input, so
+    garbage creeps inward one row per sub-step from the block edges — it
+    never reaches the owned rows because pad >= K (the classic overlapped
+    ghost-trapezoid scheme).  Runtime flags make the program SPMD-uniform
+    across shards:
+
+      flags[0] (is_owner)  this shard owns the force band (global rows
+          [0, band) sit at block rows [pad, pad+band)): those rows evolve
+          as garbage here (the band super-kernel computes them properly)
+          and the seam f1 of row band-1 is INJECTED from bhalos[s] at the
+          tile boundary j == (pad+band)/ty each sub-step, sealing the
+          owned bulk rows above from the garbage below.  The flux skips
+          the band tiles (the band kernel integrates them).
+      flags[1] (is_top)    the physical top wall lies at block row
+          pad+yl-1: the wall fixup applies at tile (pad+yl)/ty - 1 only
+          on this shard; above it the ghost rows are ring-wrapped garbage.
+
+    Pipeline structure is identical to _temporal_kernel; the only other
+    change is the tiled DMA source: tile 0 reads the bottom ghost, tile
+    n_tiles-1 the top ghost, interior tiles the shard's own rows.
+    """
+    i = pl.program_id(0)
+    K = n_steps
+    pad = ty
+    n_tiles = (yl + 2 * pad) // ty
+    j_seam = (pad + band) // ty      # tile whose cy=+1 prev is the seam
+    t_wall = (pad + yl) // ty - 1    # tile containing the top wall row
+    is_owner = flags[0] == 1
+    is_top_shard = flags[1] == 1
+    jlo_flux = 1 + jnp.where(is_owner, band // ty, 0)
+
+    colmask = (jax.lax.broadcasted_iota(jnp.int32, (1, xdim), 1)
+               == flux_lane).astype(cdt)
+    onehot = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+               + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1))
+              == 0).astype(jnp.float32)
+
+    def colsum(plane):
+        return jnp.sum(plane * colmask, axis=1, keepdims=True)  # (r, 1)
+
+    def start_dma(t):
+        @pl.when(t == 0)
+        def _():
+            pltpu.make_async_copy(bot_hbm, fsl.at[t % 2], sem.at[t % 2]
+                                  ).start()
+
+        @pl.when(jnp.logical_and(t > 0, t < n_tiles - 1))
+        def _():
+            pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(pl.multiple_of((t - 1) * ty, align), ty),
+                         :],
+                fsl.at[t % 2], sem.at[t % 2]).start()
+
+        @pl.when(t == n_tiles - 1)
+        def _():
+            pltpu.make_async_copy(top_hbm, fsl.at[t % 2], sem.at[t % 2]
+                                  ).start()
+
+    def wait_dma(t):
+        @pl.when(t == 0)
+        def _():
+            pltpu.make_async_copy(bot_hbm, fsl.at[t % 2], sem.at[t % 2]
+                                  ).wait()
+
+        @pl.when(jnp.logical_and(t > 0, t < n_tiles - 1))
+        def _():
+            pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(pl.multiple_of((t - 1) * ty, align), ty),
+                         :],
+                fsl.at[t % 2], sem.at[t % 2]).wait()
+
+        @pl.when(t == n_tiles - 1)
+        def _():
+            pltpu.make_async_copy(top_hbm, fsl.at[t % 2], sem.at[t % 2]
+                                  ).wait()
+
+    @pl.when(i == 0)
+    def _():
+        start_dma(0)
+        flux_ref[...] = jnp.zeros_like(flux_ref)
+
+    @pl.when(i + 1 <= n_tiles - 1)
+    def _():
+        start_dma(i + 1)
+
+    if walls.top == "slip":       # specular: 4<-2, 8<-5, 7<-6
+        top_pairs = ((4, 2), (8, 5), (7, 6))
+    elif walls.top == "noslip":   # bounce-back: 4<-2, 7<-5, 8<-6
+        top_pairs = ((4, 2), (7, 5), (8, 6))
+    else:
+        top_pairs = ()
+
+    def assemble(s, j):
+        """Streamed tile j of sub-step s+1 from rings[s]: seam injection
+        at j == j_seam (owner), masked top-wall fixup at j == t_wall (top
+        shard).  Block-edge tiles pull stale ring garbage — by the pad
+        budget it stays inside the ghost rows."""
+        rp = (j + 2) % 3
+        rc = j % 3
+        rn = (j + 1) % 3
+        inject = jnp.logical_and(is_owner, j == j_seam)
+        planes = [None] * 9
+        for d in range(9):
+            cx, cy = CX[d], CY[d]
+            if cy == 0:
+                rows = rings[s, rc, d]
+            elif cy == 1:
+                prev = rings[s, rp, d, ty - 1:ty, :]
+                prev = jnp.where(inject, bhalos[s, d, 0:1, :].astype(cdt),
+                                 prev)
+                rows = jnp.concatenate(
+                    [prev, rings[s, rc, d, 0:ty - 1, :]], axis=0)
+            else:
+                nxt = rings[s, rn, d, 0:1, :]
+                rows = jnp.concatenate(
+                    [rings[s, rc, d, 1:ty, :], nxt], axis=0)
+            if cx != 0:
+                rows = jnp.roll(rows, cx, axis=-1)
+            planes[d] = rows
+        at_wall = jnp.logical_and(is_top_shard, j == t_wall)
+        for dst, src in top_pairs:
+            fixed = rings[s, rc, src, ty - 1:ty, :]
+            planes[dst] = jnp.concatenate(
+                [planes[dst][0:ty - 1, :],
+                 jnp.where(at_wall, fixed, planes[dst][ty - 1:ty, :])],
+                axis=0)
+        return planes
+
+    def flux_gate(j, total):
+        # select, not multiply: excluded (ghost/band) tiles hold garbage
+        # that can be NaN, and NaN * 0 == NaN
+        return jnp.where(jnp.logical_and(j >= jlo_flux, j < n_tiles - 1),
+                         total.astype(jnp.float32), 0.0)
+
+    def add_flux(s, j, rho, mom_x):
+        ux_col = colsum(mom_x) / colsum(rho)
+        flux_ref[s] = flux_ref[s] + flux_gate(j, jnp.sum(ux_col)) * onehot
+
+    # --- stage 0: collide sub-step 1 of tile i ---------------------------
+    @pl.when(i <= n_tiles - 1)
+    def _():
+        wait_dma(i)
+        f = [fsl[i % 2, d].astype(cdt) for d in range(9)]
+        f1, _, _ = _collide_tile(f, None, None, tau=tau, tau2=tau2,
+                                 forcing=forcing, storage=storage)
+        for d in range(9):
+            rings[0, i % 3, d] = f1[d]
+
+    # --- stages 1..K-1: stream sub-step s, collide sub-step s+1 ----------
+    for s in range(1, K):
+        @pl.when(jnp.logical_and(i - s >= 0, i - s <= n_tiles - 1))
+        def _(s=s):
+            j = i - s
+            g = assemble(s - 1, j)
+            f1, rho, mom_x = _collide_tile(g, None, None, tau=tau,
+                                           tau2=tau2, forcing=forcing,
+                                           storage=storage)
+            add_flux(s - 1, j, rho, mom_x)
+            for d in range(9):
+                rings[s, j % 3, d] = f1[d]
+
+    # --- stage K: stream sub-step K -> output + its flux partial ---------
+    @pl.when(i - K >= 0)
+    def _():
+        k = i - K
+        planes = assemble(K - 1, k)
+        fsum_col = colsum(planes[0])
+        momx_col = None
+        for d in range(9):
+            out_ref[d] = planes[d].astype(out_ref.dtype)
+            if d > 0:
+                fsum_col = fsum_col + colsum(planes[d])
+            if CX[d] == 1:
+                c = colsum(planes[d])
+                momx_col = c if momx_col is None else momx_col + c
+            elif CX[d] == -1:
+                momx_col = momx_col - colsum(planes[d])
+        rho_col = 1.0 + fsum_col if storage == "deviatoric" else fsum_col
+        flux_ref[K - 1] = flux_ref[K - 1] + flux_gate(
+            k, jnp.sum(momx_col / rho_col)) * onehot
+
+
+def make_ghost_temporal_substep(cfg, yl: int, n_steps: int,
+                                walls: WallSpec = REFERENCE_WALLS,
+                                dtype=jnp.float32,
+                                forcing: str = "trt_split",
+                                storage: str = "raw",
+                                interpret: bool | None = None):
+    """Build the communication-avoiding K-step bulk update for one y-shard
+    (parallel/sharded.ShardedTemporalSim).
+
+    Call signature:
+        substep(flags, f_loc, bot_ghost, top_ghost, bhalos)
+            -> (f_block_new [9, yl + 2*pad, X], flux [K])
+
+    flags = int32 [is_owner, is_top]; bot/top_ghost are [9, pad, X] row
+    blocks ppermuted from the y-neighbours (pad == 16); bhalos is the band
+    super-kernel's per-sub-step seam output (used only when is_owner).
+    The caller slices rows [pad, pad+yl) of the output — the ghost rows
+    are the consumed trapezoid.  Flux covers this shard's OWNED force-free
+    rows only (the band tiles are skipped on the owner; the band kernel
+    integrates those with the force correction).
+    """
+    if walls.left != "periodic":
+        raise NotImplementedError("pallas backend requires periodic x walls")
+    if walls.top not in ("slip", "noslip"):
+        raise NotImplementedError(
+            "ghost temporal kernel supports top=slip|noslip")
+    xdim = cfg.xdim
+    band = cfg.force_band
+    K = int(n_steps)
+    ty = 16
+    pad = ty
+    if not 1 <= K <= pad:
+        raise ValueError(f"K={K} must be in [1, {pad}] (ghost pad budget)")
+    if yl % ty or band % ty:
+        raise ValueError(f"local rows {yl} and band {band} must be "
+                         f"multiples of the tile {ty}")
+    if yl < band + pad:
+        raise ValueError(
+            f"owner shard needs yl >= band + pad ({band + pad}), got {yl}")
+    dtype = jnp.dtype(dtype)
+    cdt = jnp.dtype(jnp.float32) if dtype.itemsize < 4 else dtype
+    align = 16 if dtype.itemsize == 2 else 8
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rows_ext = yl + 2 * pad
+    n_tiles = rows_ext // ty
+
+    kernel = functools.partial(
+        _ghost_temporal_kernel,
+        yl=yl, xdim=xdim, ty=ty, n_steps=K, band=band,
+        tau=float(cfg.tau), tau2=float(cfg.tau2), forcing=forcing,
+        walls=walls, storage=storage, flux_lane=int(cfg.flux_x),
+        cdt=cdt, align=align,
+    )
+    footprint = (
+        (3 * K) * 9 * ty * xdim * cdt.itemsize        # f1 rings
+        + (2 + 2) * 9 * ty * xdim * dtype.itemsize    # in slots + out bufs
+        + K * 9 * 8 * xdim * cdt.itemsize             # bhalos
+        + 8 * ty * xdim * cdt.itemsize                # working planes
+    )
+    vmem_limit = min(footprint + (8 << 20), 100 << 20)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles + K,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # f_loc
+            pl.BlockSpec(memory_space=pl.ANY),      # bot ghost
+            pl.BlockSpec(memory_space=pl.ANY),      # top ghost
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bhalos
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (9, ty, xdim),
+                lambda i, flags: (0, jnp.maximum(i - K, 0), 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 8, 128), lambda i, flags: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, ty, xdim), dtype),       # input slots
+            pltpu.VMEM((K, 3, 9, ty, xdim), cdt),      # f1 ring per sub-step
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((9, rows_ext, xdim), dtype),
+            jax.ShapeDtypeStruct((K, 8, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        cost_estimate=pl.CostEstimate(
+            flops=int(rows_ext * xdim * 200 * K),
+            bytes_accessed=int(18 * rows_ext * xdim * dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    def substep(flags, f_loc, bot_ghost, top_ghost, bhalos):
+        f_new, fluxout = call(
+            flags.astype(jnp.int32), f_loc.astype(dtype),
+            bot_ghost.astype(dtype), top_ghost.astype(dtype),
+            bhalos.astype(cdt))
+        return f_new, fluxout[:, 0, 0]
+
+    substep.pad = pad
+    return substep
+
+
 def make_sharded_fused_substep(cfg, yl: int, walls: WallSpec = REFERENCE_WALLS,
                                dtype=jnp.float32, forcing: str = "trt_split",
                                storage: str = "raw",

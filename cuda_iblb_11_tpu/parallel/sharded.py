@@ -583,3 +583,168 @@ class ShardedPallasSim(_ShardedPallasChunkMixin, ShardedMucociliarySim):
             ),
             donate_argnums=(0, 1),
         )
+
+
+class ShardedTemporalSim(ShardedPallasSim):
+    """Communication-avoiding y-sharded simulation: K LB steps per halo
+    exchange (vs one per step), each shard's bulk advanced by ONE Pallas
+    launch per K steps (ops/pallas_step.make_ghost_temporal_substep) and
+    the IB band by the resident-band super-kernel
+    (ops/pallas_step.make_band_super_substep) on the band-owner shard.
+
+    Per super-step and shard:
+      1. `pad` (=16) boundary rows are ring-exchanged with the two
+         y-neighbours (jax.lax.ppermute over ICI) — K-fold fewer messages
+         than the per-step path at the same total byte volume;
+      2. EVERY shard runs the band super-kernel SPMD-uniformly (the
+         non-owners on their own rows as dummy input, outputs masked);
+         this costs no wall-clock — the owner's band leg is the critical
+         path either way — and keeps the program free of cross-shard
+         control flow;
+      3. the ghost temporal kernel advances the shard's rows K sub-steps
+         inside one launch, with the owner's band seam injected from the
+         super-kernel's per-sub-step f1 output and the physical top wall
+         applied via a runtime flag on the top shard (the classic
+         overlapped ghost-trapezoid scheme: edge garbage creeps one row
+         per sub-step and dies inside the pad);
+      4. the owner's new band rows replace the garbage band tiles, the
+         force field and flux partials combine with jax.lax.psum.
+
+    Scale-out analogue of the temporal mode of models/mucociliary (the
+    reference, LatticeBoltzmann.cu:30-411 + ImmersedBoundary.cu:138-264,
+    has no multi-GPU path at all).  Restrictions: (n_y, 1) meshes with
+    n_y >= 2, yl >= force_band + pad, plus the band super-kernel's window
+    eligibility (c_space % 128 == 0 etc.).
+    """
+
+    def __init__(self, cfg: SimConfig, mesh: Mesh,
+                 walls: ref.WallSpec = ref.REFERENCE_WALLS,
+                 forcing: str = "trt_split", pattern: str = "no_mucus",
+                 dtype=None, temporal: int = 8, interpret=None):
+        super().__init__(cfg, mesh, walls, forcing, pattern, dtype,
+                         interpret=interpret)
+        from cuda_iblb_11_tpu.ops.pallas_step import (
+            make_band_super_substep, make_ghost_temporal_substep,
+        )
+
+        if self.n_x != 1:
+            raise ValueError(
+                "ShardedTemporalSim supports (n_y, 1) meshes; use "
+                "ShardedPallasSim for 2-D meshes")
+        if self.n_y < 2:
+            raise ValueError(
+                "single-shard meshes: use MucociliarySim(temporal=K)")
+        K = int(temporal)
+        if K < 2:
+            raise ValueError("temporal must be >= 2")
+        self.temporal = K
+        pad_s = -(-K // 8) * 8
+        self._band_pad_s = pad_s
+        self._ghost_substep = make_ghost_temporal_substep(
+            cfg, self.yl, K, walls, self.dtype, forcing=forcing,
+            storage=self.storage, interpret=interpret)
+        self._ghost_pad = self._ghost_substep.pad
+        if self.yl < cfg.force_band + max(pad_s, self._ghost_pad):
+            raise ValueError(
+                f"owner shard needs yl >= force_band + "
+                f"{max(pad_s, self._ghost_pad)} rows, got {self.yl}")
+        self._band_super = make_band_super_substep(
+            cfg, pad_s, K, walls, self.dtype, forcing=forcing,
+            storage=self.storage, interpret=interpret)
+        self._chunk_cache = {}
+
+    def _super_body(self, f_loc, force, q, xs):
+        """One K-step super-step of the local shard (inside shard_map)."""
+        cfg = self.cfg
+        band = cfg.force_band
+        yl, n_y = self.yl, self.n_y
+        pad = self._ghost_pad
+        us, ep, axl, fx, ay, fy = xs
+        iy = jax.lax.axis_index("y")
+        is_owner = iy == 0
+
+        fwd = [(k, (k + 1) % n_y) for k in range(n_y)]
+        bwd = [(k, (k - 1) % n_y) for k in range(n_y)]
+        # rows [y0-pad, y0) from the shard below; [y0+yl, y0+yl+pad) above
+        bot_ghost = jax.lax.ppermute(f_loc[:, yl - pad:, :], "y", fwd)
+        top_ghost = jax.lax.ppermute(f_loc[:, :pad, :], "y", bwd)
+
+        band_ext = f_loc[:, :band + self._band_pad_s, :]
+        f_band_new, bhalos, force_band, flux_band = self._band_super(
+            band_ext, force, us, ep, axl, fx, ay, fy)
+
+        flags = jnp.stack([is_owner, iy == n_y - 1]).astype(jnp.int32)
+        f_block, flux_bulk = self._ghost_substep(
+            flags, f_loc, bot_ghost, top_ghost, bhalos)
+        mid = jax.lax.slice_in_dim(f_block, pad, pad + yl, axis=1)
+        f_new = jnp.concatenate(
+            [jnp.where(is_owner, f_band_new.astype(mid.dtype),
+                       mid[:, :band]), mid[:, band:]], axis=1)
+        force_new = jax.lax.psum(
+            jnp.where(is_owner, force_band,
+                      jnp.zeros_like(force_band)), "y")
+        flux = (jnp.where(is_owner, jnp.sum(flux_band), 0.0)
+                + jnp.sum(flux_bulk))
+        q = q + jax.lax.psum(flux, "y") / 192.0
+        return f_new, force_new.astype(force.dtype), q
+
+    def _force_sharding(self):
+        return NamedSharding(self.mesh, P())
+
+    def _make_chunk(self, n_steps: int):
+        from cuda_iblb_11_tpu.models.mucociliary import (
+            prep_band_super_points,
+        )
+
+        cfg = self.cfg
+        K = self.temporal
+        n_super, rem = divmod(n_steps, K)
+        cilia = self.cilia
+        aux = self.dtype if self.dtype.itemsize >= 4 else jnp.float32
+        halo = self._band_super.halo
+
+        def local_chunk(f, force, lasts, q, it):
+            its = it + jnp.arange(n_steps, dtype=jnp.int32)
+            pos = jax.vmap(cilia.positions)(its)
+            vel = jnp.where((its > 0)[:, None, None, None],
+                            jax.vmap(cilia.velocities)(its),
+                            jnp.zeros_like(pos))
+            _, u_s, eps = jax.vmap(cilia.place_and_mask)(pos, vel)
+            anchor, frac = jax.vmap(cilia.anchored_nodes)(pos)
+
+            if n_super:
+                nk = n_super * K
+                xs_sup = prep_band_super_points(
+                    cfg, K, halo, aux, u_s[:nk], eps[:nk], anchor[:nk],
+                    frac[:nk], n_super)
+
+                def sbody(carry, xs):
+                    return self._super_body(*carry, xs), None
+
+                (f, force, q), _ = jax.lax.scan(
+                    sbody, (f, force, q), xs_sup)
+            if rem:
+                def body(carry, xs):
+                    fc, fo, qq = carry
+                    u_k, e_k, a_k, fr_k = xs
+                    fc, fo, qq = self._pallas_fluid(
+                        fc, fo, qq, u_k, e_k, (a_k, fr_k))
+                    return (fc, fo, qq), None
+
+                nk = n_super * K
+                (f, force, q), _ = jax.lax.scan(
+                    body, (f, force, q),
+                    (u_s[nk:], eps[nk:], anchor[nk:], frac[nk:]))
+            return (f, force, pos[-1].astype(lasts.dtype), q,
+                    it + n_steps)
+
+        return jax.jit(
+            jax.shard_map(
+                local_chunk,
+                mesh=self.mesh,
+                in_specs=self._chunk_specs(),
+                out_specs=self._chunk_specs(),
+                check_vma=False,
+            ),
+            donate_argnums=(0, 1),
+        )

@@ -30,7 +30,8 @@ def _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge="periodic"):
     import jax
 
     from cuda_iblb_11_tpu.parallel.sharded import (
-        ShardedMucociliarySim, ShardedPallasSim, make_mesh,
+        ShardedMucociliarySim, ShardedPallasSim, ShardedTemporalSim,
+        make_mesh,
     )
 
     parts = [int(v) for v in str(mesh).split(",")]
@@ -41,6 +42,14 @@ def _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge="periodic"):
     pallas_ok = (jax.default_backend() == "tpu" and xl % 128 == 0
                  and cfg.ydim % (8 * parts[0]) == 0)
     if backend == "pallas" or (backend == "auto" and pallas_ok):
+        if temporal > 1:
+            # communication-avoiding K-step path ((n_y, 1) meshes); fall
+            # back to the per-step sharded kernel when ineligible
+            try:
+                return ShardedTemporalSim(cfg, m, forcing=forcing,
+                                          temporal=temporal)
+            except ValueError:
+                pass
         return ShardedPallasSim(cfg, m, forcing=forcing)
     return ShardedMucociliarySim(cfg, m, forcing=forcing)
 

@@ -99,3 +99,31 @@ def test_cli_too_few_args():
 def test_cli_domain_guard():
     # c_num=2, c_space=48 -> XDIM=96 < 2*LENGTH
     assert main(["1", "2", "48", "1.0", "1.0", "5", "1", "10", "0", "0"]) == 1
+
+
+def test_cli_mesh_temporal_matches_single_device(tmp_path):
+    # The communication-avoiding sharded temporal path must be reachable
+    # from the CLI (--mesh Y,1 --temporal K --backend pallas) and produce
+    # the single-device flux series: 50 steps = 12 K=4 super-steps + 2
+    # remainder steps through the per-step sharded kernel.
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    from cuda_iblb_11_tpu.parallel.sharded import ShardedTemporalSim
+    from cuda_iblb_11_tpu.runner import _make_sim
+    from cuda_iblb_11_tpu.core.config import SimConfig
+
+    cfg = SimConfig(c_num=3, c_space=128, ydim=288, dtype="float64")
+    sim = _make_sim(cfg, "pallas", "trt_split", 4, "2,1")
+    assert isinstance(sim, ShardedTemporalSim)  # no silent fallback
+
+    args = ["1", "3", "128", "1.0", "1.0", "5", "0.0005", "2", "0", "0",
+            "--quiet", "--dtype", "float64", "--ydim", "288"]
+    assert main(args + ["--output", str(tmp_path / "single")]) == 0
+    assert main(args + ["--output", str(tmp_path / "mesh"), "--mesh", "2,1",
+                        "--temporal", "4", "--backend", "pallas"]) == 0
+    a = np.loadtxt(tmp_path / "single" / "Flux" / "1_3_128_1_1x5-flux.dat")
+    b = np.loadtxt(tmp_path / "mesh" / "Flux" / "1_3_128_1_1x5-flux.dat")
+    np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-12)

@@ -1,0 +1,99 @@
+"""Communication-avoiding sharded temporal path (parallel/sharded.
+ShardedTemporalSim): K LB steps per halo exchange on a (n_y, 1) mesh —
+the band super-kernel plus the ghost temporal kernel
+(ops/pallas_step.make_ghost_temporal_substep) inside shard_map.
+
+Equivalence to the single-device jnp oracle must hold to f64 round-off:
+the ghost-trapezoid scheme (pad ghost rows ppermuted once per K steps,
+edge garbage creeping one row per sub-step and dying inside the pad) is
+an exact re-scheduling, not an approximation.
+
+Scale-out analogue of the reference driver main.cu:263-1066, which has
+no multi-GPU path at all."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_iblb_11_tpu.core.config import SimConfig
+from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
+from cuda_iblb_11_tpu.parallel.sharded import ShardedTemporalSim, make_mesh
+
+# smallest domain whose c_space=128 band-super windows fit (X = 384) with
+# yl = 144 >= force_band(128) + pad(16) rows per shard
+CFG2 = SimConfig(c_num=3, c_space=128, ydim=288, dtype="float64",
+                 storage="raw")
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs >= 4 virtual devices")
+
+
+def _oracle(cfg, n):
+    sim = MucociliarySim(cfg, backend="jnp")
+    return sim.run_chunk(sim.init_state(), n)
+
+
+@needs_devices
+@pytest.mark.parametrize("K", [2, 4])
+def test_sharded_temporal_matches_oracle(K):
+    st_ref = _oracle(CFG2, 8)
+    sim = ShardedTemporalSim(CFG2, make_mesh(2, 1), temporal=K)
+    st = sim.run_chunk(sim.init_state(), 8)
+    assert int(st.it) == 8
+    np.testing.assert_allclose(
+        np.asarray(st.f), np.asarray(st_ref.f), rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(
+        np.asarray(st.force), np.asarray(st_ref.force), rtol=1e-10,
+        atol=1e-18)
+    np.testing.assert_allclose(float(st.q), float(st_ref.q), rtol=1e-12,
+                               atol=1e-15)
+
+
+@needs_devices
+def test_sharded_temporal_four_shards_with_remainder():
+    # 10 = 2 super-steps (K=4) + 2 remainder single steps through the
+    # per-step sharded kernel path
+    cfg = CFG2.replace(ydim=576)
+    st_ref = _oracle(cfg, 10)
+    sim = ShardedTemporalSim(cfg, make_mesh(4, 1), temporal=4)
+    st = sim.run_chunk(sim.init_state(), 10)
+    np.testing.assert_allclose(
+        np.asarray(st.f), np.asarray(st_ref.f), rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(float(st.q), float(st_ref.q), rtol=1e-12,
+                               atol=1e-15)
+
+
+@needs_devices
+def test_sharded_temporal_rejects_bad_meshes():
+    with pytest.raises(ValueError, match=r"\(n_y, 1\) meshes"):
+        ShardedTemporalSim(CFG2, make_mesh(2, 2), temporal=4)
+    with pytest.raises(ValueError, match="single-shard"):
+        ShardedTemporalSim(CFG2, make_mesh(1, 1), temporal=4)
+    with pytest.raises(ValueError, match="yl >= band"):
+        # yl = 96 < band + pad = 144
+        ShardedTemporalSim(CFG2.replace(ydim=384), make_mesh(4, 1),
+                           temporal=4)
+
+
+@needs_devices
+def test_sharded_temporal_f32_close_to_oracle():
+    # f32 storage through the same path: bounded drift, finite state
+    cfg32 = CFG2.replace(dtype="float32", storage="auto")
+    st_ref = _oracle(CFG2, 8)
+    sim = ShardedTemporalSim(cfg32, make_mesh(2, 1), temporal=4)
+    st = sim.run_chunk(sim.init_state(), 8)
+    u_ref = np.asarray(st_ref.f).sum(axis=0)
+    diff = np.abs(np.asarray(st.f, np.float64)
+                  + (1.0 if sim.storage == "deviatoric" else 0.0)
+                  * np.asarray(sim_weights(), np.float64)[:, None, None]
+                  - np.asarray(st_ref.f)).max()
+    assert np.isfinite(np.asarray(st.f)).all()
+    assert diff < 5e-5, diff
+    assert abs(float(st.q) - float(st_ref.q)) < 1e-5
+
+
+def sim_weights():
+    from cuda_iblb_11_tpu.core.lattice import W
+
+    return W
