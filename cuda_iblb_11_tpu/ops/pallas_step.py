@@ -1305,6 +1305,21 @@ def make_band_super_substep(cfg, pad: int, n_steps: int,
         raise ValueError("window halo must be 128-aligned")
     if cw + 2 * halo > xdim:
         raise ValueError("cilium window exceeds the domain width")
+    # The whole extended band lives in VMEM (scratch f + f1 + force +
+    # overlap pad + the band/seam output buffers); at large XDIM that
+    # exceeds the chip's ~128 MB and Mosaic would fail at compile time —
+    # reject here so callers fall back to the tiled per-sub-step leg.
+    resident = (
+        9 * rows * (dtype.itemsize + cdt.itemsize)   # fsc + f1sc
+        + 9 * band * dtype.itemsize                  # fband_out
+        + 9 * 8 * cdt.itemsize                       # one bhalos row block
+        + 2 * band * 2 * cdt.itemsize                # fosc + force_out
+        + 2 * band * cdt.itemsize                    # fpad (per-X share)
+    ) * xdim + 2 * band * 2 * halo * cdt.itemsize
+    if not interpret and resident > (100 << 20):
+        raise ValueError(
+            f"band super-kernel VMEM footprint {resident >> 20} MB exceeds "
+            f"the ~100 MB budget at XDIM={xdim}; use the per-sub-step leg")
 
     kernel = functools.partial(
         _band_super_kernel,

@@ -98,3 +98,15 @@ def test_band_super_f32_matches_fallback_short():
     st_f = fb.run_chunk(fb.init_state(), 8)
     np.testing.assert_allclose(
         np.asarray(st_s.f), np.asarray(st_f.f), rtol=2e-5, atol=2e-6)
+
+
+def test_band_super_rejects_vmem_blowup():
+    # at 8192^2 the resident band exceeds the ~100 MB VMEM budget; the
+    # builder must reject it (so MucociliarySim falls back to the tiled
+    # per-sub-step leg) instead of failing at Mosaic compile time
+    from cuda_iblb_11_tpu.ops.pallas_step import make_band_super_substep
+
+    cfg = SimConfig(c_num=64, c_space=128, ydim=8192, dtype="float32")
+    with pytest.raises(ValueError, match="VMEM footprint"):
+        make_band_super_substep(cfg, 8, 8, dtype="float32",
+                                interpret=False)
