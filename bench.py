@@ -97,13 +97,14 @@ def main():
                 u_f32 = corrected_velocity_of(sim, state)
             try:
                 cfgb = cfg.replace(dtype="bfloat16")
-                simb = MucociliarySim(cfgb, backend="pallas", temporal=8)
+                simb = MucociliarySim(cfgb, backend="pallas",
+                                      temporal=TEMPORAL_K)
                 stb, dtb = timed_run(simb, steps)
                 u_bf16 = corrected_velocity_of(simb, stb)
                 rel = float(jnp.linalg.norm(u_bf16.astype(jnp.float32)
                                             - u_f32)
                             / jnp.linalg.norm(u_f32))
-                log(f"secondary: bf16 temporal K=8 "
+                log(f"secondary: bf16 temporal K={TEMPORAL_K} "
                     f"{cfg.size * steps / dtb / 1e6:.0f} MLUPS "
                     f"(measured velocity rel-L2 vs f32 @{steps} steps: "
                     f"{rel:.2e})")
