@@ -80,7 +80,7 @@ def main(argv=None) -> int:
         return 1
     if args.dtype:
         cfg = cfg.replace(dtype=args.dtype)
-    if args.ydim:
+    if args.ydim is not None:
         cfg = cfg.replace(ydim=args.ydim)
     run(cfg, output_root=args.output, backend=args.backend,
         forcing=args.forcing, resume_from=args.resume,

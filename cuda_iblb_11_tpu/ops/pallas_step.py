@@ -1421,6 +1421,13 @@ def _ghost_temporal_kernel(
     Pipeline structure is identical to _temporal_kernel; the only other
     change is the tiled DMA source: tile 0 reads the bottom ghost, tile
     n_tiles-1 the top ghost, interior tiles the shard's own rows.
+
+    MIRROR: the pipeline (assemble/rings/DMA/flux) is deliberately kept
+    as a separate copy of _temporal_kernel rather than one parameterized
+    kernel — the single-chip path's bit-identical-to-single-step claim is
+    load-bearing (tests + bench), and threading runtime flags through it
+    would perturb proven codegen for zero benefit there.  Any fix to the
+    pipeline in either kernel MUST be applied to both.
     """
     i = pl.program_id(0)
     K = n_steps

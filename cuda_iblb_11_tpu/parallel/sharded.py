@@ -547,30 +547,43 @@ class ShardedPallasSim(_ShardedPallasChunkMixin, ShardedMucociliarySim):
         return (f_new, force_new, lasts_new.astype(lasts.dtype), q_new,
                 it + 1)
 
+    def _boundary_series(self, it, n_steps):
+        """Batched cilia boundary data for steps [it, it+n_steps): the
+        kinematics are replicated per-shard (cheap) and computed OUTSIDE
+        the fluid scan, mirroring MucociliarySim._run_scan.  Returns
+        (pos [n, ...], u_s, eps, anchor, frac)."""
+        cilia = self.cilia
+        its = it + jnp.arange(n_steps, dtype=jnp.int32)
+        pos = jax.vmap(cilia.positions)(its)
+        vel = jnp.where((its > 0)[:, None, None, None],
+                        jax.vmap(cilia.velocities)(its),
+                        jnp.zeros_like(pos))
+        _, u_s, eps = jax.vmap(cilia.place_and_mask)(pos, vel)
+        anchor, frac = jax.vmap(cilia.anchored_nodes)(pos)
+        return pos, u_s, eps, anchor, frac
+
+    def _scan_steps(self, f, force, q, xs):
+        """Scan the per-step fluid+IB body over stacked boundary data
+        xs = (u_s, eps, anchor, frac)."""
+        def body(carry, x):
+            fc, fo, qq = carry
+            u_k, e_k, a_k, fr_k = x
+            fc, fo, qq = self._pallas_fluid(
+                fc, fo, qq, u_k, e_k, (a_k, fr_k))
+            return (fc, fo, qq), None
+
+        (f, force, q), _ = jax.lax.scan(body, (f, force, q), xs)
+        return f, force, q
+
     def _make_chunk(self, n_steps: int):
         """Chunked sharded path: cilia kinematics batched OUTSIDE the scan
         (mirroring MucociliarySim._run_scan), scan body = fused kernel +
         halo exchange + IB + flux."""
-        cilia = self.cilia
 
         def local_chunk(f, force, lasts, q, it):
-            its = it + jnp.arange(n_steps, dtype=jnp.int32)
-            pos = jax.vmap(cilia.positions)(its)
-            vel = jnp.where((its > 0)[:, None, None, None],
-                            jax.vmap(cilia.velocities)(its),
-                            jnp.zeros_like(pos))
-            _, u_s, eps = jax.vmap(cilia.place_and_mask)(pos, vel)
-            anchor, frac = jax.vmap(cilia.anchored_nodes)(pos)
-
-            def body(carry, xs):
-                f, force, q = carry
-                u_k, e_k, a_k, fr_k = xs
-                f, force, q = self._pallas_fluid(
-                    f, force, q, u_k, e_k, (a_k, fr_k))
-                return (f, force, q), None
-
-            (f, force, q), _ = jax.lax.scan(
-                body, (f, force, q), (u_s, eps, anchor, frac))
+            pos, u_s, eps, anchor, frac = self._boundary_series(it, n_steps)
+            f, force, q = self._scan_steps(
+                f, force, q, (u_s, eps, anchor, frac))
             return (f, force, pos[-1].astype(lasts.dtype), q, it + n_steps)
 
         return jax.jit(
@@ -595,7 +608,9 @@ class ShardedTemporalSim(ShardedPallasSim):
     Per super-step and shard:
       1. `pad` (=16) boundary rows are ring-exchanged with the two
          y-neighbours (jax.lax.ppermute over ICI) — K-fold fewer messages
-         than the per-step path at the same total byte volume;
+         than the per-step path; at K=16 the byte volume matches it too,
+         while smaller K trades up to 16/K x more halo bytes (the pad is
+         fixed) for the fewer, larger messages and one-launch sub-steps;
       2. EVERY shard runs the band super-kernel SPMD-uniformly (the
          non-owners on their own rows as dummy input, outputs masked);
          this costs no wall-clock — the owner's band leg is the critical
@@ -640,14 +655,13 @@ class ShardedTemporalSim(ShardedPallasSim):
         self.temporal = K
         pad_s = -(-K // 8) * 8
         self._band_pad_s = pad_s
+        # rejects K > 16, yl % 16 != 0 and yl < force_band + 16 — which
+        # also guarantees the owner shard can source the band kernel's
+        # ghost pad (pad_s <= 16) from its own bulk rows
         self._ghost_substep = make_ghost_temporal_substep(
             cfg, self.yl, K, walls, self.dtype, forcing=forcing,
             storage=self.storage, interpret=interpret)
         self._ghost_pad = self._ghost_substep.pad
-        if self.yl < cfg.force_band + max(pad_s, self._ghost_pad):
-            raise ValueError(
-                f"owner shard needs yl >= force_band + "
-                f"{max(pad_s, self._ghost_pad)} rows, got {self.yl}")
         self._band_super = make_band_super_substep(
             cfg, pad_s, K, walls, self.dtype, forcing=forcing,
             storage=self.storage, interpret=interpret)
@@ -699,21 +713,14 @@ class ShardedTemporalSim(ShardedPallasSim):
         cfg = self.cfg
         K = self.temporal
         n_super, rem = divmod(n_steps, K)
-        cilia = self.cilia
+        nk = n_super * K
         aux = self.dtype if self.dtype.itemsize >= 4 else jnp.float32
         halo = self._band_super.halo
 
         def local_chunk(f, force, lasts, q, it):
-            its = it + jnp.arange(n_steps, dtype=jnp.int32)
-            pos = jax.vmap(cilia.positions)(its)
-            vel = jnp.where((its > 0)[:, None, None, None],
-                            jax.vmap(cilia.velocities)(its),
-                            jnp.zeros_like(pos))
-            _, u_s, eps = jax.vmap(cilia.place_and_mask)(pos, vel)
-            anchor, frac = jax.vmap(cilia.anchored_nodes)(pos)
+            pos, u_s, eps, anchor, frac = self._boundary_series(it, n_steps)
 
             if n_super:
-                nk = n_super * K
                 xs_sup = prep_band_super_points(
                     cfg, K, halo, aux, u_s[:nk], eps[:nk], anchor[:nk],
                     frac[:nk], n_super)
@@ -724,16 +731,10 @@ class ShardedTemporalSim(ShardedPallasSim):
                 (f, force, q), _ = jax.lax.scan(
                     sbody, (f, force, q), xs_sup)
             if rem:
-                def body(carry, xs):
-                    fc, fo, qq = carry
-                    u_k, e_k, a_k, fr_k = xs
-                    fc, fo, qq = self._pallas_fluid(
-                        fc, fo, qq, u_k, e_k, (a_k, fr_k))
-                    return (fc, fo, qq), None
-
-                nk = n_super * K
-                (f, force, q), _ = jax.lax.scan(
-                    body, (f, force, q),
+                # remainder steps (n_steps % K) through the per-step
+                # sharded kernel path
+                f, force, q = self._scan_steps(
+                    f, force, q,
                     (u_s[nk:], eps[nk:], anchor[nk:], frac[nk:]))
             return (f, force, pos[-1].astype(lasts.dtype), q,
                     it + n_steps)

@@ -6,6 +6,7 @@ full-field + cilia snapshots, SimLog with completion-time prediction, and
 from __future__ import annotations
 
 import os
+import sys
 import time
 
 from cuda_iblb_11_tpu.core.config import SimConfig
@@ -44,12 +45,17 @@ def _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge="periodic"):
     if backend == "pallas" or (backend == "auto" and pallas_ok):
         if temporal > 1:
             # communication-avoiding K-step path ((n_y, 1) meshes); fall
-            # back to the per-step sharded kernel when ineligible
+            # back to the per-step sharded kernel when ineligible — loudly,
+            # so a user who asked for K-step blocking knows they are not
+            # getting it (different perf class, not different physics)
             try:
                 return ShardedTemporalSim(cfg, m, forcing=forcing,
                                           temporal=temporal)
-            except ValueError:
-                pass
+            except ValueError as e:
+                print(f"warning: --temporal {temporal} with --mesh {mesh} "
+                      f"is not eligible for the K-step sharded path ({e}); "
+                      f"falling back to the per-step sharded kernel",
+                      file=sys.stderr)
         return ShardedPallasSim(cfg, m, forcing=forcing)
     return ShardedMucociliarySim(cfg, m, forcing=forcing)
 

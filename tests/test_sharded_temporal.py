@@ -83,7 +83,6 @@ def test_sharded_temporal_f32_close_to_oracle():
     st_ref = _oracle(CFG2, 8)
     sim = ShardedTemporalSim(cfg32, make_mesh(2, 1), temporal=4)
     st = sim.run_chunk(sim.init_state(), 8)
-    u_ref = np.asarray(st_ref.f).sum(axis=0)
     diff = np.abs(np.asarray(st.f, np.float64)
                   + (1.0 if sim.storage == "deviatoric" else 0.0)
                   * np.asarray(sim_weights(), np.float64)[:, None, None]
@@ -97,3 +96,20 @@ def sim_weights():
     from cuda_iblb_11_tpu.core.lattice import W
 
     return W
+
+
+@needs_devices
+def test_sharded_temporal_noslip_top_wall():
+    # the top-wall fixup is flag-gated to the top shard and supports both
+    # wall types; exercise the bounce-back (noslip) variant end-to-end
+    from cuda_iblb_11_tpu.ops.reference import WallSpec
+
+    walls = WallSpec(top="noslip")
+    ref = MucociliarySim(CFG2, backend="jnp", walls=walls)
+    st_ref = ref.run_chunk(ref.init_state(), 8)
+    sim = ShardedTemporalSim(CFG2, make_mesh(2, 1), walls=walls, temporal=4)
+    st = sim.run_chunk(sim.init_state(), 8)
+    np.testing.assert_allclose(
+        np.asarray(st.f), np.asarray(st_ref.f), rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(float(st.q), float(st_ref.q), rtol=1e-12,
+                               atol=1e-15)
