@@ -702,8 +702,9 @@ class ShardedTemporalSim(ShardedPallasSim):
         q = q + jax.lax.psum(flux, "y") / 192.0
         return f_new, force_new.astype(force.dtype), q
 
-    def _force_sharding(self):
-        return NamedSharding(self.mesh, P())
+    # force sharding: the inherited P(None, None, "x") over the enforced
+    # n_x == 1 axis is full replication, which the per-super-step psum
+    # maintains (every shard ends each super-step with the same force)
 
     def _make_chunk(self, n_steps: int):
         from cuda_iblb_11_tpu.models.mucociliary import (

@@ -113,3 +113,15 @@ def test_sharded_temporal_noslip_top_wall():
         np.asarray(st.f), np.asarray(st_ref.f), rtol=1e-13, atol=1e-15)
     np.testing.assert_allclose(float(st.q), float(st_ref.q), rtol=1e-12,
                                atol=1e-15)
+
+
+@needs_devices
+def test_sharded_temporal_bf16_runs_finite():
+    # dtype coverage: bf16 storage through the sharded temporal kernels
+    # (compute stays f32 in-kernel); finite state and bounded q drift
+    cfgb = CFG2.replace(dtype="bfloat16", storage="auto")
+    st_ref = _oracle(CFG2, 8)
+    sim = ShardedTemporalSim(cfgb, make_mesh(2, 1), temporal=4)
+    st = sim.run_chunk(sim.init_state(), 8)
+    assert np.isfinite(np.asarray(st.f, np.float32)).all()
+    assert abs(float(st.q) - float(st_ref.q)) < 1e-3
