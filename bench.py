@@ -43,13 +43,18 @@ def corrected_velocity_of(sim, state):
     return u
 
 
-def timed_run(sim, steps):
+def timed_run(sim, steps, windows=1):
+    """Warm up one window, then time `windows` more and keep the best —
+    the tunnel's dispatch jitter is one-sided (only ever adds time)."""
     state = sim.run_chunk(sim.init_state(), steps)
     _ = float(state.q)  # value fetch: the only reliable device sync here
-    t0 = time.perf_counter()
-    state = sim.run_chunk(state, steps)
-    _ = float(state.q)
-    return state, time.perf_counter() - t0
+    best = float("inf")
+    for _i in range(windows):
+        t0 = time.perf_counter()
+        state = sim.run_chunk(state, steps)
+        _ = float(state.q)
+        best = min(best, time.perf_counter() - t0)
+    return state, best
 
 
 def main():
@@ -71,7 +76,7 @@ def main():
     try:
         kw = dict(temporal=TEMPORAL_K) if on_tpu else {}
         sim = MucociliarySim(cfg, backend=sim_backend, **kw)
-        state, dt = timed_run(sim, steps)
+        state, dt = timed_run(sim, steps, windows=3 if on_tpu else 1)
         mlups = cfg.size * steps / dt / 1e6
         log(f"f32 temporal K={TEMPORAL_K if on_tpu else 1}: {steps} steps "
             f"in {dt:.3f}s  q={float(state.q):.3e}  "
@@ -81,7 +86,7 @@ def main():
             # diagnostics: single-step kernel rate + measured bf16 error
             try:
                 s1 = MucociliarySim(cfg, backend="pallas")
-                st1, dt1 = timed_run(s1, steps)
+                st1, dt1 = timed_run(s1, steps, windows=3)
                 log(f"secondary: f32 single-step "
                     f"{cfg.size * steps / dt1 / 1e6:.0f} MLUPS")
                 u_f32 = corrected_velocity_of(s1, st1)
@@ -89,7 +94,7 @@ def main():
                 rel_sup = float(jnp.linalg.norm(u_sup - u_f32)
                                 / jnp.linalg.norm(u_f32))
                 log(f"secondary: temporal-super vs single-step velocity "
-                    f"rel-L2 @{2 * steps} steps: {rel_sup:.2e} "
+                    f"rel-L2 @{4 * steps} steps: {rel_sup:.2e} "
                     f"(f32 reassociation drift; see "
                     f"tests/test_accuracy_horizon.py)")
             except Exception as e:  # noqa: BLE001
@@ -99,14 +104,14 @@ def main():
                 cfgb = cfg.replace(dtype="bfloat16")
                 simb = MucociliarySim(cfgb, backend="pallas",
                                       temporal=TEMPORAL_K)
-                stb, dtb = timed_run(simb, steps)
+                stb, dtb = timed_run(simb, steps, windows=3)
                 u_bf16 = corrected_velocity_of(simb, stb)
                 rel = float(jnp.linalg.norm(u_bf16.astype(jnp.float32)
                                             - u_f32)
                             / jnp.linalg.norm(u_f32))
                 log(f"secondary: bf16 temporal K={TEMPORAL_K} "
                     f"{cfg.size * steps / dtb / 1e6:.0f} MLUPS "
-                    f"(measured velocity rel-L2 vs f32 @{steps} steps: "
+                    f"(measured velocity rel-L2 vs f32 @{4 * steps} steps: "
                     f"{rel:.2e})")
             except Exception as e:  # noqa: BLE001
                 log(f"bf16 secondary failed: {e!r}")
