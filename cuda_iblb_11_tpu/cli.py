@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Guo forcing scheme; 'reference' replicates the CUDA "
                         "exactly but is IB-unstable at default parameters")
     p.add_argument("--dtype", default=None,
-                   choices=[None, "float32", "float64"])
+                   choices=[None, "float32", "float64", "bfloat16"])
     p.add_argument("--temporal", type=int, default=1, metavar="K",
                    help="K-step temporal blocking for the pallas backend "
                         "(K LB steps per HBM pass over the force-free bulk; "

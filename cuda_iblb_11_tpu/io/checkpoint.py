@@ -26,15 +26,23 @@ from cuda_iblb_11_tpu.core.state import FlowState
 
 
 def save(path: str, state: FlowState, cfg: SimConfig) -> None:
-    np.savez_compressed(
-        path,
-        f=np.asarray(state.f),
-        force=np.asarray(state.force),
-        lasts=np.asarray(state.lasts),
-        q=np.asarray(state.q),
-        it=np.asarray(state.it),
-        config=json.dumps(dataclasses.asdict(cfg)),
-    )
+    """Atomic save: write to a temp file in the same directory, then
+    os.replace — a crash mid-save must never destroy the previous good
+    checkpoint (the whole point of checkpointing)."""
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(
+            fh,
+            f=np.asarray(state.f),
+            force=np.asarray(state.force),
+            lasts=np.asarray(state.lasts),
+            q=np.asarray(state.q),
+            it=np.asarray(state.it),
+            config=json.dumps(dataclasses.asdict(cfg)),
+        )
+    os.replace(tmp, path)
 
 
 # Fields that determine state compatibility; run-length / output knobs
@@ -42,28 +50,6 @@ def save(path: str, state: FlowState, cfg: SimConfig) -> None:
 _STATE_FIELDS = ("c_fraction", "c_num", "c_space", "re", "t_num", "t_pow",
                  "length", "ydim", "dtype", "storage")
 
-
-def load(path: str, cfg: SimConfig | None = None) -> tuple[FlowState, SimConfig]:
-    with np.load(path, allow_pickle=False) as z:
-        saved_cfg = SimConfig(**json.loads(str(z["config"])))
-        if cfg is not None:
-            bad = [f for f in _STATE_FIELDS
-                   if getattr(cfg, f) != getattr(saved_cfg, f)]
-            if bad:
-                raise ValueError(
-                    f"checkpoint incompatible in fields {bad}:\n"
-                    f" saved: {saved_cfg}\n asked: {cfg}")
-        state = FlowState(
-            f=jnp.asarray(z["f"]),
-            force=jnp.asarray(z["force"]),
-            lasts=jnp.asarray(z["lasts"]),
-            q=jnp.asarray(z["q"]),
-            it=jnp.asarray(z["it"]),
-        )
-    return state, saved_cfg
-
-
-# ---- orbax (sharded / multi-host) format ----------------------------------
 
 def _check_compat(saved_cfg: SimConfig, cfg: SimConfig | None) -> None:
     if cfg is None:
@@ -76,23 +62,53 @@ def _check_compat(saved_cfg: SimConfig, cfg: SimConfig | None) -> None:
             f" saved: {saved_cfg}\n asked: {cfg}")
 
 
+def load(path: str, cfg: SimConfig | None = None) -> tuple[FlowState, SimConfig]:
+    with np.load(path, allow_pickle=False) as z:
+        saved_cfg = SimConfig(**json.loads(str(z["config"])))
+        _check_compat(saved_cfg, cfg)
+        state = FlowState(
+            f=jnp.asarray(z["f"]),
+            force=jnp.asarray(z["force"]),
+            lasts=jnp.asarray(z["lasts"]),
+            q=jnp.asarray(z["q"]),
+            it=jnp.asarray(z["it"]),
+        )
+    return state, saved_cfg
+
+
+# ---- orbax (sharded / multi-host) format ----------------------------------
+
 def save_orbax(path: str, state: FlowState, cfg: SimConfig) -> None:
     """Sharded checkpoint: every host writes only its own array shards
-    (no host gather).  `path` is a directory."""
+    (no host gather).  `path` is a directory.
+
+    Crash-safe like save(): orbax's own commit protocol makes the WRITE
+    atomic, but ``force=True`` on the final path would delete the previous
+    good checkpoint before writing — so the new one is written beside it
+    and swapped in with directory renames."""
     import os
+    import shutil
 
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    tmp = path + ".tmp"
+    old = path + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
     with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ckptr:
         ckptr.save(
-            path,
+            tmp,
             args=ocp.args.Composite(
                 state=ocp.args.StandardSave(state._asdict()),
                 config=ocp.args.JsonSave(dataclasses.asdict(cfg)),
             ),
             force=True,
         )
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def load_orbax(path: str, cfg: SimConfig | None = None,
@@ -113,10 +129,21 @@ def load_orbax(path: str, cfg: SimConfig | None = None,
         saved_cfg = SimConfig(**meta["config"])
         _check_compat(saved_cfg, cfg)
         if sim is not None:
-            target = jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
-                                               sharding=x.sharding),
-                sim.init_state()._asdict())
+            # abstract target only: eval_shape allocates nothing, so the
+            # restore never holds two copies of the state on device
+            abstract = jax.eval_shape(sim.init_state)._asdict()
+            shardings = {
+                "f": sim.grid_sharding(),
+                "force": sim._force_sharding(),
+                "lasts": sim.replicated(),
+                "q": sim.replicated(),
+                "it": sim.replicated(),
+            }
+            target = {
+                k: jax.ShapeDtypeStruct(v.shape, v.dtype,
+                                        sharding=shardings[k])
+                for k, v in abstract.items()
+            }
             restored = ckptr.restore(
                 path, args=ocp.args.Composite(
                     state=ocp.args.StandardRestore(target)))

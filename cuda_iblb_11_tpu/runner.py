@@ -41,7 +41,8 @@ def _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge="periodic"):
     m = make_mesh(*parts)
     xl = cfg.xdim // parts[1]
     pallas_ok = (jax.default_backend() == "tpu" and xl % 128 == 0
-                 and cfg.ydim % (8 * parts[0]) == 0)
+                 and cfg.ydim % (8 * parts[0]) == 0
+                 and str(cfg.dtype) in ("float32", "bfloat16"))
     if backend == "pallas" or (backend == "auto" and pallas_ok):
         if temporal > 1:
             # communication-avoiding K-step path ((n_y, 1) meshes); fall
@@ -57,7 +58,41 @@ def _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge="periodic"):
                       f"falling back to the per-step sharded kernel",
                       file=sys.stderr)
         return ShardedPallasSim(cfg, m, forcing=forcing)
+    if temporal > 1:
+        print(f"warning: --temporal {temporal} requires the sharded pallas "
+              f"path; the jnp sharded backend steps one iteration at a "
+              f"time (temporal ignored)", file=sys.stderr)
     return ShardedMucociliarySim(cfg, m, forcing=forcing)
+
+
+def _resume_flux_rows(flux_path: str, cfg: SimConfig, it0: int,
+                      interval: int) -> int:
+    """Count the leading flux rows still valid at a resume from step it0.
+
+    Rows carry the time stamp it*t_scale of the run that WROTE them, whose
+    output interval may differ from the resuming run's — so rows are kept
+    by time, not by dividing it0 by the new interval.  A row at exactly
+    it0 is kept only when it0 is NOT a boundary of the new interval (the
+    resumed loop rewrites boundary rows itself)."""
+    t0 = it0 * cfg.t_scale
+    # %.6g-formatted stamps carry ~5e-7 relative error; the tolerance must
+    # dominate it while staying below the >= 1-interval row spacing
+    tol = max(0.5 * cfg.t_scale, 2e-6 * t0)
+    keep = 0
+    try:
+        with open(flux_path) as fh:
+            for line in fh:
+                try:
+                    t = float(line.split()[0])
+                except (ValueError, IndexError):
+                    break
+                if t < t0 - tol or (abs(t - t0) <= tol and it0 % interval):
+                    keep += 1
+                else:
+                    break
+    except FileNotFoundError:
+        pass
+    return keep
 
 
 def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
@@ -102,11 +137,19 @@ def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
             state, _ = ckpt.load(resume_from, cfg)
             if mesh:
                 state = sim.place_state(state)  # re-shard onto the mesh
+        if not mesh and state.force.shape[1] == cfg.ydim:
+            # mesh-saved checkpoints keep the force full-size [2, Y, X];
+            # the single-device layout is band-only (zero above the band
+            # by construction — ImmersedBoundary.cu:166-231)
+            state = state._replace(force=state.force[:, :cfg.force_band])
         it0 = int(state.it)
-        # Preserve the flux rows already written up to the checkpoint (the
-        # resumed loop rewrites the row at it0 itself iff it0 is an interval
-        # boundary) and append to SimLog instead of truncating it.
-        keep = it0 // interval + (1 if it0 % interval else 0)
+        # Preserve the flux rows already written up to the checkpoint and
+        # append to SimLog instead of truncating it.  The kept rows are
+        # identified by their TIME stamps (they were written at the SAVED
+        # run's interval, which may differ from this run's); the resumed
+        # loop rewrites the row at it0 itself iff it0 is a boundary of the
+        # new interval.
+        keep = _resume_flux_rows(paths.flux_path, cfg, it0, interval)
         flux = FluxWriter(paths.flux_path, cfg, keep_rows=keep)
         simlog.write_resume_note(it0)
         if not quiet:

@@ -53,7 +53,11 @@ int iblb_write_fluid_snapshot(const char* path, int32_t xdim, int32_t ydim,
         for (int32_t x = 0; x < xdim; ++x) {
             const double vx = ux[row + x] * s_scale;
             const double vy = uy[row + x] * s_scale;
-            const double ab = std::sqrt(vx * vx + vy * vy);
+            // sqrt BEFORE scaling: matches the reference (main.cu:958)
+            // and io/writers.py, so the %.6g digits round identically
+            const double ab =
+                std::sqrt(ux[row + x] * ux[row + x]
+                          + uy[row + x] * uy[row + x]) * s_scale;
             p = fmt_g6(p, x * x_scale);
             *p++ = '\t';
             p = fmt_g6(p, y * x_scale);

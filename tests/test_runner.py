@@ -90,3 +90,50 @@ def test_checkpoint_cadence_not_interval_aligned(tmp_path):
     assert os.path.exists(ck)
     state, _ = ckpt.load(ck, CFG)
     assert int(state.it) == 300
+
+
+def test_resume_flux_rows_interval_change(tmp_path):
+    # Rows are preserved by TIME stamp: resuming with a different output
+    # interval (allowed — p_num/i_pow are not state fields) must keep all
+    # rows up to the checkpoint, not it0 // new_interval of them.
+    from cuda_iblb_11_tpu.io.writers import FluxWriter
+    from cuda_iblb_11_tpu.runner import _resume_flux_rows
+
+    cfg = SimConfig(c_num=4, c_space=48)
+    path = str(tmp_path / "flux.dat")
+    w = FluxWriter(path, cfg)
+    for it in range(0, 501, 10):  # saved run's interval = 10
+        w.append(it, it * 0.5)
+
+    # resume at it0=500 with interval 20: 500 is a boundary -> the loop
+    # rewrites its row; all 50 earlier rows survive
+    assert _resume_flux_rows(path, cfg, 500, 20) == 50
+    # resume at it0=505 (not a boundary of interval 20): the row at 500
+    # is kept as well, and the run appends from the next boundary
+    assert _resume_flux_rows(path, cfg, 505, 20) == 51
+    # rows written past the checkpoint by the interrupted run are dropped
+    assert _resume_flux_rows(path, cfg, 300, 20) == 30
+    # missing file: nothing to keep
+    assert _resume_flux_rows(str(tmp_path / "none.dat"), cfg, 500, 20) == 0
+
+
+def test_npz_checkpoint_save_is_atomic(tmp_path):
+    # A save over an existing checkpoint must go through a temp file +
+    # os.replace, leaving no .tmp behind and a loadable archive.
+    import jax.numpy as jnp
+
+    import cuda_iblb_11_tpu.io.checkpoint as ckpt
+    from cuda_iblb_11_tpu.core.state import FlowState
+
+    cfg = SimConfig(c_num=4, c_space=48)
+    st = FlowState(
+        f=jnp.zeros((9, cfg.ydim, cfg.xdim), jnp.float32),
+        force=jnp.zeros((2, cfg.force_band, cfg.xdim), jnp.float32),
+        lasts=jnp.zeros((cfg.c_num, cfg.length, 2), jnp.float32),
+        q=jnp.zeros(()), it=jnp.asarray(7))
+    path = str(tmp_path / "checkpoint.npz")
+    ckpt.save(path, st, cfg)
+    ckpt.save(path, st._replace(it=jnp.asarray(9)), cfg)  # overwrite
+    assert not os.path.exists(path + ".tmp")
+    st2, _ = ckpt.load(path, cfg)
+    assert int(st2.it) == 9
