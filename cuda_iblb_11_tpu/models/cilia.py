@@ -278,8 +278,6 @@ class CiliaModel:
         Cauchy-Schwarz on each harmonic.  Used to prove every cilium's
         delta support stays inside its own c_space-wide window (the
         windowed IB fast path, ops/pallas_step.make_band_super_substep)."""
-        import numpy as np
-
         a = np.asarray(self.a_pre, np.float64)[:, :, 0]  # [nodes, 7] x-coord
         b = np.asarray(self.b_pre, np.float64)[:, :, 0]
         per_node = np.abs(a[:, 0]) / 2.0 + np.sqrt(

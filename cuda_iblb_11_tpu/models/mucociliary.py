@@ -161,7 +161,8 @@ class MucociliarySim:
                         raise ValueError("ydim too small for ghost pad")
                     self._band_super = make_band_super_substep(
                         cfg, pad_s, self.temporal, walls, self.dtype,
-                        forcing=forcing, storage=self.storage)
+                        forcing=forcing, storage=self.storage,
+                        pattern=pattern)
                     self._band_pad_s = pad_s
                 except ValueError:
                     self._band_super = None
@@ -312,7 +313,6 @@ class MucociliarySim:
         """One-launch band leg: all K band sub-steps + IB coupling inside
         the resident-band super-kernel; the bulk advances K steps in the
         temporal kernel as before."""
-        cfg = self.cfg
         us, ep, axl, fx, ay, fy = xs
         band_ext = jnp.concatenate(
             [f_band, f_bulk[:, :self._band_pad_s, :]], axis=1)

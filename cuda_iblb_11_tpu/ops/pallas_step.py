@@ -1245,7 +1245,8 @@ def make_band_super_substep(cfg, pad: int, n_steps: int,
                             walls: WallSpec = REFERENCE_WALLS,
                             dtype=jnp.float32, forcing: str = "trt_split",
                             storage: str = "raw",
-                            interpret: bool | None = None):
+                            interpret: bool | None = None,
+                            pattern: str = "no_mucus"):
     """Resident-band temporal super-step: K band sub-steps + IB coupling in
     ONE Pallas launch.
 
@@ -1284,6 +1285,14 @@ def make_band_super_substep(cfg, pad: int, n_steps: int,
     cdt = jnp.dtype(jnp.float32) if dtype.itemsize < 4 else dtype
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # the kernel hard-codes the reference channel's edge handling: the
+    # periodic lane roll and the bottom-wall bounce-back fixup (the top
+    # edge is the ghost trapezoid, so walls.top is the bulk kernel's job)
+    if walls.left != "periodic":
+        raise NotImplementedError("band super-kernel requires periodic x")
+    if walls.bottom != "noslip":
+        raise NotImplementedError(
+            "band super-kernel supports bottom=noslip only")
     cw = cfg.c_space
     if not interpret and cw % 128:
         raise ValueError("band super-kernel requires c_space % 128 == 0")
@@ -1295,10 +1304,14 @@ def make_band_super_substep(cfg, pad: int, n_steps: int,
         raise ValueError("ghost pad must cover K sub-steps")
     # halo such that every window [m*cw - halo, (m+1)*cw + halo) provably
     # contains its cilium's delta support (beat envelope + |frac| + 1.5,
-    # rounded up with 1 cell of slack)
+    # rounded up with 1 cell of slack).  The envelope is evaluated for the
+    # ACTUAL beat pattern of the simulation — a pattern with a wider
+    # x-excursion gets a wider (or rejected) window rather than silently
+    # truncated IB support.
     from cuda_iblb_11_tpu.models.cilia import CiliaModel
 
-    bound = CiliaModel(cfg, dtype=cdt).beat_x_bound() + 3.0
+    bound = CiliaModel(cfg, dtype=cdt,
+                       pattern=pattern).beat_x_bound() + 3.0
     halo = max(0, -(-int(bound - cw / 2 + 1) // 128) * 128) \
         if bound > cw / 2 else 0
     if not interpret and halo % 128:
@@ -1650,6 +1663,13 @@ def make_ghost_temporal_substep(cfg, yl: int, n_steps: int,
         + K * 9 * 8 * xdim * cdt.itemsize             # bhalos
         + 8 * ty * xdim * cdt.itemsize                # working planes
     )
+    if not interpret and footprint > (100 << 20):
+        # fixed ty == pad leaves no smaller tile to fall back to — reject
+        # with a clear error instead of an opaque Mosaic VMEM abort
+        raise ValueError(
+            f"ghost temporal kernel VMEM footprint {footprint >> 20} MB "
+            f"exceeds the ~100 MB budget (K={K}, XDIM={xdim}); lower K or "
+            f"use the per-step sharded path")
     vmem_limit = min(footprint + (8 << 20), 100 << 20)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -664,7 +664,7 @@ class ShardedTemporalSim(ShardedPallasSim):
         self._ghost_pad = self._ghost_substep.pad
         self._band_super = make_band_super_substep(
             cfg, pad_s, K, walls, self.dtype, forcing=forcing,
-            storage=self.storage, interpret=interpret)
+            storage=self.storage, interpret=interpret, pattern=pattern)
         self._chunk_cache = {}
 
     def _super_body(self, f_loc, force, q, xs):

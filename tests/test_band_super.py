@@ -110,3 +110,17 @@ def test_band_super_rejects_vmem_blowup():
     with pytest.raises(ValueError, match="VMEM footprint"):
         make_band_super_substep(cfg, 8, 8, dtype="float32",
                                 interpret=False)
+
+
+def test_band_super_honors_beat_pattern():
+    # the window-safety envelope must be computed for the sim's ACTUAL
+    # beat pattern; mucus-pattern runs through the super path must match
+    # the mucus-pattern oracle
+    ref = MucociliarySim(CFG, backend="jnp", pattern="mucus")
+    st_ref = ref.run_chunk(ref.init_state(), 8)
+    tem = MucociliarySim(CFG, backend="pallas", temporal=4,
+                         pattern="mucus")
+    assert tem._band_super is not None
+    st = tem.run_chunk(tem.init_state(), 8)
+    np.testing.assert_allclose(
+        np.asarray(st.f), np.asarray(st_ref.f), rtol=1e-13, atol=1e-15)
