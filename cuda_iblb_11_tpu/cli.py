@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override the channel height (default 192, "
                         "main.cu:271) — e.g. for scale-out runs where "
                         "each y-shard needs >= force_band + 16 rows")
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() before running "
+                        "(multi-host pods: coordinator/process env vars or "
+                        "the platform's auto-detection must be set; the "
+                        "--mesh shape then spans all hosts' devices)")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the first interval")
@@ -70,6 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.distributed:
+        # must run before any backend use; on multi-host pods every
+        # process then sees the global device set, and shard_map meshes
+        # built from jax.devices() span all hosts (the orbax checkpoint
+        # path already writes shard-local and restores onto the mesh)
+        import jax
+
+        jax.distributed.initialize()
     try:
         cfg = SimConfig.from_argv(args.positionals)
     except SystemExit as e:
