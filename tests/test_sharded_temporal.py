@@ -125,3 +125,13 @@ def test_sharded_temporal_bf16_runs_finite():
     st = sim.run_chunk(sim.init_state(), 8)
     assert np.isfinite(np.asarray(st.f, np.float32)).all()
     assert abs(float(st.q) - float(st_ref.q)) < 1e-3
+
+
+def test_ghost_temporal_rejects_vmem_blowup():
+    # fixed tile size means no fallback: over-budget K x XDIM must raise
+    # a clear error, not an opaque Mosaic abort
+    from cuda_iblb_11_tpu.ops.pallas_step import make_ghost_temporal_substep
+
+    cfg = SimConfig(c_num=32, c_space=128, ydim=4096, dtype="float32")
+    with pytest.raises(ValueError, match="VMEM footprint"):
+        make_ghost_temporal_substep(cfg, 1024, 16, interpret=False)
