@@ -25,6 +25,17 @@ def _build() -> bool:
     src = os.path.join(_NATIVE_DIR, "iblb_io.cpp")
     if not os.path.exists(src):
         return False
+    # single source of truth for flags: the Makefile; fall back to a
+    # direct g++ invocation only where make is unavailable
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            check=True, capture_output=True, timeout=120,
+        )
+        if os.path.exists(_LIB_PATH):
+            return True
+    except (OSError, subprocess.SubprocessError):
+        pass
     try:
         subprocess.run(
             ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",

@@ -20,13 +20,16 @@ class ThroughputMeter:
     cells: int
     steps: int = 0
     elapsed: float = 0.0
-    _t0: float = field(default=0.0, repr=False)
+    _t0: float | None = field(default=None, repr=False)
 
     def start(self):
         self._t0 = seconds()
 
     def stop(self, steps: int):
+        if self._t0 is None:
+            raise RuntimeError("ThroughputMeter.stop() without start()")
         self.elapsed += seconds() - self._t0
+        self._t0 = None
         self.steps += steps
 
     @property

@@ -12,9 +12,12 @@ Result (validation/metachrony.json, 2026-08-17): pumping peaks at
 c_fraction=4 (Q=124.8 per beat) — a distinct metachronal optimum, ~1.6x
 the synchronous-beat flux (c_fraction=16 == zero phase lag, Q=78.0).
 
-Usage: PYTHONPATH=. python scripts/sweep_metachrony.py
+Usage: PYTHONPATH=. python scripts/sweep_metachrony.py \
+           [--out validation/metachrony.json]
 """
+import argparse
 import json
+import os
 import time
 
 import jax.numpy as jnp
@@ -24,6 +27,11 @@ from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "validation", "metachrony.json"))
+    args = ap.parse_args()
     out = {}
     t00 = time.perf_counter()
     for cf in (1, 2, 3, 4, 6, 8, 12, 16):
@@ -39,7 +47,9 @@ def main():
         print(f"c_fraction={cf:2d}  p_step={cfg.p_step:6d}  "
               f"Q(one beat)={q:.5g}  finite={finite}", flush=True)
     print(f"total {time.perf_counter() - t00:.0f}s")
-    print(json.dumps(out))
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

@@ -41,7 +41,11 @@ def main():
     sim = MucociliarySim(cfg, backend=args.backend)
     state = sim.init_state()
 
-    interval = args.steps // args.samples
+    interval = max(1, args.steps // args.samples)
+    if interval * args.samples != args.steps:
+        print(f"note: running {interval * args.samples} steps "
+              f"({args.samples} x {interval}; --steps {args.steps} is not "
+              f"divisible by --samples)", file=sys.stderr)
     ts, qs = [0.0], [0.0]
     for k in range(args.samples):
         state = sim.run_chunk(state, interval)
