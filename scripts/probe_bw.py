@@ -9,7 +9,6 @@ axon tunnel; see docs/perf_notes).
 
 from __future__ import annotations
 
-import functools
 import sys
 import time
 

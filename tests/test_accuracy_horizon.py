@@ -15,8 +15,6 @@ number); the loose bound here documents its magnitude.
 """
 
 import jax.numpy as jnp
-import numpy as np
-import pytest
 
 from cuda_iblb_11_tpu.core.config import SimConfig
 from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim

@@ -13,7 +13,6 @@ Reference semantics covered: ImmersedBoundary.cu:119-264 (interpolate /
 force / spread with the 3-point delta), LatticeBoltzmann.cu:30-411
 (TRT collide + stream), main.cu:641-704 (flux diagnostic)."""
 
-import jax
 import numpy as np
 import pytest
 

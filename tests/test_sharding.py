@@ -2,7 +2,6 @@
 single-device oracle (BASELINE config 5, tested on a virtual CPU mesh)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -9,7 +9,6 @@ per sub-step.  Equivalence here is to f64 round-off in interpret mode; on
 real TPU the path is bit-exact vs the single-step fused kernel (checked by
 the benchmark harness)."""
 
-import jax
 import numpy as np
 import pytest
 
