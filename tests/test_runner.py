@@ -137,3 +137,28 @@ def test_npz_checkpoint_save_is_atomic(tmp_path):
     assert not os.path.exists(path + ".tmp")
     st2, _ = ckpt.load(path, cfg)
     assert int(st2.it) == 9
+
+
+def test_make_sim_warns_on_temporal_fallback(capsys):
+    # an ineligible --temporal mesh run must say so, not silently downgrade
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    from cuda_iblb_11_tpu.parallel.sharded import (
+        ShardedMucociliarySim, ShardedPallasSim,
+    )
+    from cuda_iblb_11_tpu.runner import _make_sim
+
+    # yl too small for the K-step path -> per-step pallas + stderr warning
+    cfg = SimConfig(c_num=3, c_space=128, ydim=192)
+    sim = _make_sim(cfg, "pallas", "trt_split", 4, "2,1")
+    assert isinstance(sim, ShardedPallasSim)
+    assert "falling back to the per-step sharded kernel" in (
+        capsys.readouterr().err)
+
+    # jnp sharded backend cannot honor temporal at all -> warning
+    sim = _make_sim(cfg, "jnp", "trt_split", 4, "2,1")
+    assert type(sim) is ShardedMucociliarySim
+    assert "temporal ignored" in capsys.readouterr().err
