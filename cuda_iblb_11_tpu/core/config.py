@@ -157,12 +157,18 @@ class SimConfig:
     # ---- validation ---------------------------------------------------------
 
     def validate(self) -> None:
-        """Domain guard from the reference (main.cu:303-308)."""
+        """Domain guard from the reference (main.cu:303-308) plus flag
+        checks (a typoed storage mode must not silently run raw-f32 with
+        its ~100x higher velocity-noise floor)."""
         if self.xdim < 2 * self.length:
             raise ValueError(
                 f"not enough cilia in simulation! Cilia spacing of {self.c_space} "
-                f"requires at least {2 * self.length // self.c_space} cilia"
+                f"requires at least {-(-2 * self.length // self.c_space)} cilia"
             )
+        if self.storage not in ("auto", "raw", "deviatoric"):
+            raise ValueError(
+                f"unknown storage mode {self.storage!r} "
+                f"(auto | raw | deviatoric)")
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

@@ -139,9 +139,7 @@ def interpolate(f, s, u_s, band=DEFAULT_BAND, storage="raw", anchored=None,
                    preferred_element_type=cdt)            # [3, band, Ns]
     i_q = jnp.einsum("ky,qky->qk", dy, t, precision=_PREC,
                      preferred_element_type=cdt)          # [3, Ns]
-    i_rho = i_q[0]
-    i_mom = i_q[1:]                                       # [2, Ns]
-    return (2.0 * (u_s.astype(cdt).T * i_rho[None] - i_mom)).T  # [Ns, 2]
+    return finish_interpolate(i_q, u_s)                   # [Ns, 2]
 
 
 def interpolate_from_moments(q, u_s, factors):
@@ -158,7 +156,7 @@ def interpolate_from_moments(q, u_s, factors):
                    preferred_element_type=cdt)            # [3, band, Ns]
     i_q = jnp.einsum("ky,qky->qk", dy.astype(cdt), t, precision=_PREC,
                      preferred_element_type=cdt)          # [3, Ns]
-    return (2.0 * (u_s.astype(cdt).T * i_q[0][None] - i_q[1:])).T
+    return finish_interpolate(i_q, u_s)
 
 
 def spread(f_s, s, eps, xdim, band=DEFAULT_BAND, anchored=None,
@@ -194,13 +192,7 @@ def interpolate_partial(f_loc, xdim, band, y0, x0, n_rows, storage="raw",
     """
     if anchored is None:
         raise ValueError("sharded interpolation requires anchored positions")
-    fb = f_loc[:, :n_rows, :].astype(
-        jnp.promote_types(f_loc.dtype, jnp.float32))
-    rho = jnp.sum(fb, axis=0)
-    if storage == "deviatoric":
-        rho = 1.0 + rho
-    c = jnp.asarray(C, f_loc.dtype)
-    mom = jnp.einsum("iyx,ic->cyx", fb, c, precision=_PREC)
+    rho, mom = band_moments(f_loc, n_rows, storage)
     cdt = rho.dtype
     dy, dx = _delta_factors_anchored(
         anchored[0], anchored[1], xdim, band, cdt,
@@ -230,10 +222,7 @@ def spread_local(f_s, eps, xdim, band, x0, xl, anchored=None):
     dy, dx = _delta_factors_anchored(
         anchored[0], anchored[1], xdim, band, f_s.dtype,
         x_offset=x0, x_count=xl)
-    lhs = (f_s * eps[:, None].astype(f_s.dtype))          # [Ns, 2]
-    a = lhs.T[:, None, :] * dy.T[None]                    # [2, band, Ns]
-    return jnp.einsum("cyk,kx->cyx", a, dx, precision=_PREC,
-                      preferred_element_type=f_s.dtype)   # [2, band, xl]
+    return spread(f_s, None, eps, xdim, band, factors=(dy, dx))
 
 
 def pad_band(force_band, ydim):

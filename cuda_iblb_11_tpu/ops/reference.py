@@ -249,7 +249,7 @@ def stream(f1, walls: WallSpec = REFERENCE_WALLS, rho_wall: float = RHO_0):
     return out
 
 
-def collide_rows(f_rows, force_rows, tau, tau2, forcing="trt_split",
+def collide_rows(f_rows, force_rows, tau, tau2, forcing="reference",
                  storage="raw"):
     """Collision only (no streaming) on a thin [9, r, X] row slab — used to
     produce the post-collision (f1) halo rows exchanged between shards
