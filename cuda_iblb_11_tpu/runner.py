@@ -65,6 +65,25 @@ def _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge="periodic"):
     return ShardedMucociliarySim(cfg, m, forcing=forcing)
 
 
+def _select_device(cfg: SimConfig, mesh=None):
+    """Reference device-selection semantics (main.cu:395-396): the ShARC
+    flag picks device 3 (the cluster's assigned GPU) instead of device 0.
+    TPU analogue: returns the jax device the single-device run should be
+    pinned to, or None when no override applies (mesh runs span devices;
+    ShARC on a host with < 4 devices falls back to the default, loudly)."""
+    if mesh or not cfg.sharc:
+        return None
+    import jax
+
+    devs = jax.devices()
+    if len(devs) > 3:
+        return devs[3]
+    print(f"warning: ShARC flag requests device 3 but only {len(devs)} "
+          f"device(s) are visible; using the default device",
+          file=sys.stderr)
+    return None
+
+
 def _resume_flux_rows(flux_path: str, cfg: SimConfig, it0: int,
                       interval: int) -> int:
     """Count the leading flux rows still valid at a resume from step it0.
@@ -101,6 +120,31 @@ def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
         profile_dir: str | None = None, temporal: int = 1,
         mesh: str | None = None, ib_x_edge: str = "periodic",
         checkpoint_format: str = "npz") -> dict:
+    """See _run_body; this wrapper applies the ShARC device-selection
+    semantics (pin single-device runs to device 3 when cfg.sharc, the
+    reference's cudaSetDevice behaviour at main.cu:395-396)."""
+    device = _select_device(cfg, mesh)
+    kw = dict(
+        output_root=output_root, backend=backend, forcing=forcing,
+        resume_from=resume_from, checkpoint_every=checkpoint_every,
+        quiet=quiet, profile_dir=profile_dir, temporal=temporal, mesh=mesh,
+        ib_x_edge=ib_x_edge, checkpoint_format=checkpoint_format,
+        device=device)
+    if device is not None:
+        import jax
+
+        with jax.default_device(device):
+            return _run_body(cfg, **kw)
+    return _run_body(cfg, **kw)
+
+
+def _run_body(cfg: SimConfig, output_root: str = "Data/Test",
+              backend: str = "auto",
+              forcing: str = "trt_split", resume_from: str | None = None,
+              checkpoint_every: int = 0, quiet: bool = False,
+              profile_dir: str | None = None, temporal: int = 1,
+              mesh: str | None = None, ib_x_edge: str = "periodic",
+              checkpoint_format: str = "npz", device=None) -> dict:
     """Execute cfg.iterations steps with interval outputs.
 
     profile_dir: if set, capture a jax.profiler trace of the first interval
@@ -128,6 +172,8 @@ def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
              "Dtype": str(sim.dtype)}
     if mesh:
         extra["Mesh"] = mesh
+    if device is not None:
+        extra["Device"] = str(device)
 
     if resume_from:
         if os.path.isdir(resume_from):  # orbax checkpoints are directories

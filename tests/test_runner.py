@@ -162,3 +162,22 @@ def test_make_sim_warns_on_temporal_fallback(capsys):
     sim = _make_sim(cfg, "jnp", "trt_split", 4, "2,1")
     assert type(sim) is ShardedMucociliarySim
     assert "temporal ignored" in capsys.readouterr().err
+
+
+def test_sharc_device_selection(tmp_path):
+    # ShARC flag = reference's cudaSetDevice(3) (main.cu:395-396): the
+    # single-device run pins to device index 3 when one exists (the CPU
+    # test backend exposes 8 virtual devices) and records it in SimLog.
+    import jax
+
+    from cuda_iblb_11_tpu.runner import _select_device
+
+    cfg = CFG.replace(sharc=True, bigdata=False, i_pow=0.0005, p_num=1)
+    assert _select_device(cfg) == jax.devices()[3]
+    assert _select_device(cfg.replace(sharc=False)) is None
+    assert _select_device(cfg, mesh="2,4") is None  # mesh spans devices
+
+    run(cfg, output_root=str(tmp_path), quiet=True)
+    log = open(os.path.join(str(tmp_path), "Raw", "4", "1",
+                            "SimLog.txt")).read()
+    assert str(jax.devices()[3]) in log
