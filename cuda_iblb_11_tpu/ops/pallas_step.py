@@ -1418,18 +1418,30 @@ def _ghost_temporal_kernel(
     garbage creeps inward one row per sub-step from the block edges — it
     never reaches the owned rows because pad >= K (the classic overlapped
     ghost-trapezoid scheme).  Runtime flags make the program SPMD-uniform
-    across shards:
+    across shards (and let the force band span shard boundaries, so a
+    shard may hold fewer than `band` rows — e.g. the reference's own
+    ydim=192 under (2, 1) y-sharding):
 
-      flags[0] (is_owner)  this shard owns the force band (global rows
-          [0, band) sit at block rows [pad, pad+band)): those rows evolve
+      flags[0] (inject)    this shard's block straddles the band/bulk
+          boundary (y0 <= band < y0+yl): rows below global `band` evolve
           as garbage here (the band super-kernel computes them properly)
-          and the seam f1 of row band-1 is INJECTED from bhalos[s] at the
-          tile boundary j == (pad+band)/ty each sub-step, sealing the
-          owned bulk rows above from the garbage below.  The flux skips
-          the band tiles (the band kernel integrates them).
+          and the seam f1 of global row band-1 is INJECTED from bhalos[s]
+          at the tile boundary flags[2] each sub-step, sealing the bulk
+          rows above from the garbage below.
       flags[1] (is_top)    the physical top wall lies at block row
           pad+yl-1: the wall fixup applies at tile (pad+yl)/ty - 1 only
           on this shard; above it the ghost rows are ring-wrapped garbage.
+      flags[2] (j_seam)    the tile index whose cy=+1 prev-row pull is
+          replaced by the injected seam: (pad + band - y0) // ty.
+      flags[3] (n_band_tiles)  number of OWNED tiles that are band rows,
+          clip(band - y0, 0, yl) // ty: the flux skips those tiles (the
+          band kernel integrates them with the force correction).
+
+      A shard entirely below the band (y0+yl <= band) has inject=0 and
+      n_band_tiles=yl/ty: all its owned rows are garbage here and are
+      replaced by the band kernel's output outside.  A shard entirely
+      above (y0 >= band+pad — the y0-band gap is a multiple of pad by
+      the yl/band alignment requirements) sees only valid bulk ghosts.
 
     Pipeline structure is identical to _temporal_kernel; the only other
     change is the tiled DMA source: tile 0 reads the bottom ghost, tile
@@ -1446,11 +1458,11 @@ def _ghost_temporal_kernel(
     K = n_steps
     pad = ty
     n_tiles = (yl + 2 * pad) // ty
-    j_seam = (pad + band) // ty      # tile whose cy=+1 prev is the seam
     t_wall = (pad + yl) // ty - 1    # tile containing the top wall row
-    is_owner = flags[0] == 1
+    do_inject = flags[0] == 1
     is_top_shard = flags[1] == 1
-    jlo_flux = 1 + jnp.where(is_owner, band // ty, 0)
+    j_seam = flags[2]                # tile whose cy=+1 prev is the seam
+    jlo_flux = 1 + flags[3]          # skip the owned band tiles
 
     colmask = (jax.lax.broadcasted_iota(jnp.int32, (1, xdim), 1)
                == flux_lane).astype(cdt)
@@ -1521,7 +1533,7 @@ def _ghost_temporal_kernel(
         rp = (j + 2) % 3
         rc = j % 3
         rn = (j + 1) % 3
-        inject = jnp.logical_and(is_owner, j == j_seam)
+        inject = jnp.logical_and(do_inject, j == j_seam)
         planes = [None] * 9
         for d in range(9):
             cx, cy = CX[d], CY[d]
@@ -1616,13 +1628,18 @@ def make_ghost_temporal_substep(cfg, yl: int, n_steps: int,
         substep(flags, f_loc, bot_ghost, top_ghost, bhalos)
             -> (f_block_new [9, yl + 2*pad, X], flux [K])
 
-    flags = int32 [is_owner, is_top]; bot/top_ghost are [9, pad, X] row
-    blocks ppermuted from the y-neighbours (pad == 16); bhalos is the band
-    super-kernel's per-sub-step seam output (used only when is_owner).
-    The caller slices rows [pad, pad+yl) of the output — the ghost rows
-    are the consumed trapezoid.  Flux covers this shard's OWNED force-free
-    rows only (the band tiles are skipped on the owner; the band kernel
-    integrates those with the force correction).
+    flags = int32 [inject, is_top, j_seam, n_band_tiles] (see the kernel
+    docstring); bot/top_ghost are [9, pad, X] row blocks ppermuted from
+    the y-neighbours (pad == 16); bhalos is the band super-kernel's
+    per-sub-step seam output (used only when inject).  The caller slices
+    rows [pad, pad+yl) of the output — the ghost rows are the consumed
+    trapezoid.  Flux covers this shard's OWNED force-free rows only (the
+    band tiles are skipped; the band kernel integrates those with the
+    force correction).
+
+    The force band may span shard boundaries (yl < band is legal): shards
+    below the band/bulk seam produce garbage band rows that the caller
+    replaces with the band kernel's output.
     """
     if walls.left != "periodic":
         raise NotImplementedError("pallas backend requires periodic x walls")
@@ -1639,9 +1656,6 @@ def make_ghost_temporal_substep(cfg, yl: int, n_steps: int,
     if yl % ty or band % ty:
         raise ValueError(f"local rows {yl} and band {band} must be "
                          f"multiples of the tile {ty}")
-    if yl < band + pad:
-        raise ValueError(
-            f"owner shard needs yl >= band + pad ({band + pad}), got {yl}")
     dtype = jnp.dtype(dtype)
     cdt = jnp.dtype(jnp.float32) if dtype.itemsize < 4 else dtype
     align = 16 if dtype.itemsize == 2 else 8

@@ -628,8 +628,12 @@ class ShardedTemporalSim(ShardedPallasSim):
     Scale-out analogue of the temporal mode of models/mucociliary (the
     reference, LatticeBoltzmann.cu:30-411 + ImmersedBoundary.cu:138-264,
     has no multi-GPU path at all).  Restrictions: (n_y, 1) meshes with
-    n_y >= 2, yl >= force_band + pad, plus the band super-kernel's window
-    eligibility (c_space % 128 == 0 etc.).
+    n_y >= 2, yl a multiple of 16, plus the band super-kernel's window
+    eligibility (c_space % 128 == 0 etc.).  The force band may span shard
+    boundaries (yl < force_band + pad — e.g. the reference's own ydim=192
+    under (2,1) slicing): the band block is then assembled by a masked
+    psum each super-step, every shard runs the band kernel on the true
+    data, and each takes its own slice of the (replicated) band output.
     """
 
     def __init__(self, cfg: SimConfig, mesh: Mesh,
@@ -655,9 +659,16 @@ class ShardedTemporalSim(ShardedPallasSim):
         self.temporal = K
         pad_s = -(-K // 8) * 8
         self._band_pad_s = pad_s
-        # rejects K > 16, yl % 16 != 0 and yl < force_band + 16 — which
-        # also guarantees the owner shard can source the band kernel's
-        # ghost pad (pad_s <= 16) from its own bulk rows
+        if cfg.ydim < cfg.force_band + pad_s:
+            raise ValueError(
+                f"temporal blocking needs ydim >= force_band + {pad_s} "
+                f"(got ydim={cfg.ydim}, band={cfg.force_band})")
+        # When a shard holds fewer rows than the extended band (the
+        # reference's own ydim=192 under (2,1) slicing), the band block is
+        # assembled across shards by a masked psum each super-step and the
+        # band kernel's output rows are scattered back per shard.
+        self._band_gather = self.yl < cfg.force_band + pad_s
+        # rejects K > 16 and yl % 16 != 0
         self._ghost_substep = make_ghost_temporal_substep(
             cfg, self.yl, K, walls, self.dtype, forcing=forcing,
             storage=self.storage, interpret=interpret)
@@ -675,7 +686,7 @@ class ShardedTemporalSim(ShardedPallasSim):
         pad = self._ghost_pad
         us, ep, axl, fx, ay, fy = xs
         iy = jax.lax.axis_index("y")
-        is_owner = iy == 0
+        y0 = iy * yl
 
         fwd = [(k, (k + 1) % n_y) for k in range(n_y)]
         bwd = [(k, (k - 1) % n_y) for k in range(n_y)]
@@ -683,21 +694,58 @@ class ShardedTemporalSim(ShardedPallasSim):
         bot_ghost = jax.lax.ppermute(f_loc[:, yl - pad:, :], "y", fwd)
         top_ghost = jax.lax.ppermute(f_loc[:, :pad, :], "y", bwd)
 
-        band_ext = f_loc[:, :band + self._band_pad_s, :]
+        ext_rows = band + self._band_pad_s
+        if self._band_gather:
+            # the band spans shard boundaries: assemble the extended band
+            # block identically on EVERY shard (masked contribution +
+            # psum); all shards then run the band kernel on true data and
+            # hold identical band outputs / force / bhalos
+            g = jnp.arange(ext_rows, dtype=jnp.int32)
+            own = (g >= y0) & (g < y0 + yl)
+            vals = f_loc[:, jnp.clip(g - y0, 0, yl - 1), :]
+            band_ext = jax.lax.psum(
+                jnp.where(own[None, :, None], vals, jnp.zeros_like(vals)),
+                "y")
+        else:
+            band_ext = f_loc[:, :ext_rows, :]
         f_band_new, bhalos, force_band, flux_band = self._band_super(
             band_ext, force, us, ep, axl, fx, ay, fy)
 
-        flags = jnp.stack([is_owner, iy == n_y - 1]).astype(jnp.int32)
+        # runtime shard flags for the ghost kernel (its docstring): the
+        # band/bulk seam may fall inside any shard's block
+        lb = jnp.clip(band - y0, 0, yl)          # owned band rows
+        inject = jnp.logical_and(y0 <= band, band < y0 + yl)
+        ty_g = pad  # ghost kernel tile rows == pad
+        flags = jnp.stack([
+            inject.astype(jnp.int32),
+            (iy == n_y - 1).astype(jnp.int32),
+            (pad + lb) // ty_g,
+            lb // ty_g,
+        ]).astype(jnp.int32)
         f_block, flux_bulk = self._ghost_substep(
             flags, f_loc, bot_ghost, top_ghost, bhalos)
         mid = jax.lax.slice_in_dim(f_block, pad, pad + yl, axis=1)
-        f_new = jnp.concatenate(
-            [jnp.where(is_owner, f_band_new.astype(mid.dtype),
-                       mid[:, :band]), mid[:, band:]], axis=1)
-        force_new = jax.lax.psum(
-            jnp.where(is_owner, force_band,
-                      jnp.zeros_like(force_band)), "y")
-        flux = (jnp.where(is_owner, jnp.sum(flux_band), 0.0)
+        if self._band_gather:
+            # scatter the (replicated) band output back into this shard's
+            # rows; force is already replicated — no psum needed
+            fbp = jnp.concatenate(
+                [f_band_new,
+                 jnp.zeros((9, yl) + f_band_new.shape[2:],
+                           f_band_new.dtype)], axis=1)
+            band_loc = jax.lax.dynamic_slice_in_dim(fbp, y0, yl, axis=1)
+            rows_g = y0 + jnp.arange(yl, dtype=jnp.int32)
+            f_new = jnp.where((rows_g < band)[None, :, None],
+                              band_loc.astype(mid.dtype), mid)
+            force_new = force_band
+        else:
+            is_owner = iy == 0
+            f_new = jnp.concatenate(
+                [jnp.where(is_owner, f_band_new.astype(mid.dtype),
+                           mid[:, :band]), mid[:, band:]], axis=1)
+            force_new = jax.lax.psum(
+                jnp.where(is_owner, force_band,
+                          jnp.zeros_like(force_band)), "y")
+        flux = (jnp.where(iy == 0, jnp.sum(flux_band), 0.0)
                 + jnp.sum(flux_bulk))
         q = q + jax.lax.psum(flux, "y") / 192.0
         return f_new, force_new.astype(force.dtype), q

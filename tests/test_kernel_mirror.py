@@ -55,7 +55,8 @@ def test_ghost_kernel_bit_equals_temporal_kernel(K):
     ghost = make_ghost_temporal_substep(CFG, ydim, K, dtype=jnp.float64)
     pad = ghost.pad
     nan_ghost = jnp.full((9, pad, CFG.xdim), jnp.nan, jnp.float64)
-    flags = jnp.array([1, 1], jnp.int32)  # owns the band, owns the top wall
+    # [inject, is_top, j_seam, n_band_tiles]: owns the whole band + top
+    flags = jnp.array([1, 1, (pad + band) // 16, band // 16], jnp.int32)
     f_block, flux_ghost = ghost(flags, f_full, nan_ghost, nan_ghost, bhalos)
 
     got = np.asarray(f_block[:, pad + band:pad + ydim])

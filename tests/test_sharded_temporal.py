@@ -70,10 +70,27 @@ def test_sharded_temporal_rejects_bad_meshes():
         ShardedTemporalSim(CFG2, make_mesh(2, 2), temporal=4)
     with pytest.raises(ValueError, match="single-shard"):
         ShardedTemporalSim(CFG2, make_mesh(1, 1), temporal=4)
-    with pytest.raises(ValueError, match="yl >= band"):
-        # yl = 96 < band + pad = 144
-        ShardedTemporalSim(CFG2.replace(ydim=384), make_mesh(4, 1),
-                           temporal=4)
+
+
+@needs_devices
+@pytest.mark.parametrize("ydim,n_y", [(192, 2), (256, 2), (384, 4)])
+def test_sharded_temporal_band_spanning_shards(ydim, n_y):
+    # yl < force_band + pad: the band spans shard boundaries (includes
+    # the reference's own ydim=192 under (2,1) slicing) — the band block
+    # is psum-assembled per super-step and sliced back per shard; still
+    # oracle-exact to f64 round-off (VERDICT r2 item 3)
+    cfg = CFG2.replace(ydim=ydim)
+    st_ref = _oracle(cfg, 8)
+    sim = ShardedTemporalSim(cfg, make_mesh(n_y, 1), temporal=4)
+    assert sim._band_gather  # the new band-spanning path engages
+    st = sim.run_chunk(sim.init_state(), 8)
+    np.testing.assert_allclose(
+        np.asarray(st.f), np.asarray(st_ref.f), rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(
+        np.asarray(st.force), np.asarray(st_ref.force), rtol=1e-10,
+        atol=1e-18)
+    np.testing.assert_allclose(float(st.q), float(st_ref.q), rtol=1e-12,
+                               atol=1e-15)
 
 
 @needs_devices
