@@ -2,22 +2,27 @@
 fused Pallas collide+stream + IB cilia coupling + cumulative flux).
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "MLUPS", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "MLUPS", "vs_baseline": N,
+     "diag": {...}}
 
 The primary mode is float32 with K=16 temporal blocking (K LB steps per
 HBM pass over the force-free rows above the IB band) and the resident-band
 IB super-kernel (all K band sub-steps + IB coupling in one Pallas launch,
-ops/pallas_step.make_band_super_substep).  The super-kernel re-associates
-the IB contractions (per-cilium windows instead of dense band matmuls), so
-it is NOT bit-exact vs the single-step fused kernel; its f32 accuracy vs
-the f64 oracle is enforced in tests/test_accuracy_horizon.py and the
-measured deviation from the single-step path is printed as a diagnostic
-below.
+ops/pallas_step.make_band_super_substep, full-precision MXU window dots).
+The super-kernel re-associates the IB contractions, so it is NOT bit-exact
+vs the single-step fused kernel; its measured deviation is reported in
+diag.super_vs_single_rel_l2 (~5e-6 at 2,048 steps since the r3
+Precision.HIGHEST fix; the f32-vs-f64 envelope is gated in
+tests/test_accuracy_horizon.py and characterized in
+validation/accuracy_horizon.json).
+
+diag also carries the machine-readable secondary numbers (VERDICT r2
+item 8): single-step kernel rate, the 8192^2 BASELINE-config-5 grid on
+one chip (single-step and temporal K=8 with the tiled band leg), and the
+bf16 fast mode with its measured velocity noise.
 
 vs_baseline is against the reference's derived throughput of ~0.62 MLUPS
 (SimLog_nom.txt: 100k iterations on 300x200 in 9,636 s — BASELINE.md).
-Diagnostics go to stderr, including the single-step kernel rate and a
-MEASURED bf16 fast-mode error (relative velocity L2 vs this f32 run).
 """
 
 from __future__ import annotations
@@ -72,6 +77,7 @@ def main():
     on_tpu = backend_kind == "tpu"
     sim_backend = "pallas" if on_tpu else "jnp"
     steps = 512 if on_tpu else 3
+    diag = {}
 
     try:
         kw = dict(temporal=TEMPORAL_K) if on_tpu else {}
@@ -83,23 +89,28 @@ def main():
             f"finite={bool(jnp.isfinite(state.f).all())}")
 
         if on_tpu:
-            # diagnostics: single-step kernel rate + measured bf16 error
+            # single-step kernel rate + super-mode deviation from it
             try:
                 s1 = MucociliarySim(cfg, backend="pallas")
                 st1, dt1 = timed_run(s1, steps, windows=3)
+                diag["single_step_mlups"] = round(
+                    cfg.size * steps / dt1 / 1e6, 1)
                 log(f"secondary: f32 single-step "
-                    f"{cfg.size * steps / dt1 / 1e6:.0f} MLUPS")
+                    f"{diag['single_step_mlups']:.0f} MLUPS")
                 u_f32 = corrected_velocity_of(s1, st1)
                 u_sup = corrected_velocity_of(sim, state)
                 rel_sup = float(jnp.linalg.norm(u_sup - u_f32)
                                 / jnp.linalg.norm(u_f32))
+                diag["super_vs_single_rel_l2"] = rel_sup
+                diag["super_vs_single_steps"] = 4 * steps
                 log(f"secondary: temporal-super vs single-step velocity "
                     f"rel-L2 @{4 * steps} steps: {rel_sup:.2e} "
-                    f"(f32 reassociation drift; see "
-                    f"tests/test_accuracy_horizon.py)")
+                    f"(f32 reassociation drift; envelope: "
+                    f"validation/accuracy_horizon.json)")
             except Exception as e:  # noqa: BLE001
                 log(f"single-step secondary failed: {e!r}")
                 u_f32 = corrected_velocity_of(sim, state)
+            # bf16 fast mode + measured velocity noise vs this f32 run
             try:
                 cfgb = cfg.replace(dtype="bfloat16")
                 simb = MucociliarySim(cfgb, backend="pallas",
@@ -109,12 +120,34 @@ def main():
                 rel = float(jnp.linalg.norm(u_bf16.astype(jnp.float32)
                                             - u_f32)
                             / jnp.linalg.norm(u_f32))
+                diag["bf16_mlups"] = round(cfg.size * steps / dtb / 1e6, 1)
+                diag["bf16_rel_l2_vs_f32"] = rel
                 log(f"secondary: bf16 temporal K={TEMPORAL_K} "
-                    f"{cfg.size * steps / dtb / 1e6:.0f} MLUPS "
+                    f"{diag['bf16_mlups']:.0f} MLUPS "
                     f"(measured velocity rel-L2 vs f32 @{4 * steps} steps: "
                     f"{rel:.2e})")
             except Exception as e:  # noqa: BLE001
                 log(f"bf16 secondary failed: {e!r}")
+            # BASELINE config-5 grid (8192^2) on one chip: single-step +
+            # temporal K=8 (band super is VMEM-ineligible at X=8192 ->
+            # the tiled per-sub-step band leg engages)
+            try:
+                cfg8 = SimConfig(c_num=64, c_space=128, ydim=8192,
+                                 dtype="float32")
+                s8 = MucociliarySim(cfg8, backend="pallas", temporal=8)
+                _st8, dt8 = timed_run(s8, 128, windows=2)
+                diag["mlups_8192sq_temporal_k8"] = round(
+                    cfg8.size * 128 / dt8 / 1e6, 1)
+                s8s = MucociliarySim(cfg8, backend="pallas")
+                _st8s, dt8s = timed_run(s8s, 128, windows=2)
+                diag["mlups_8192sq_single_step"] = round(
+                    cfg8.size * 128 / dt8s / 1e6, 1)
+                log(f"secondary: 8192^2 single chip — temporal K=8 "
+                    f"{diag['mlups_8192sq_temporal_k8']:.0f} MLUPS, "
+                    f"single-step "
+                    f"{diag['mlups_8192sq_single_step']:.0f} MLUPS")
+            except Exception as e:  # noqa: BLE001
+                log(f"8192^2 secondary failed: {e!r}")
 
         print(json.dumps({
             "metric": "MLUPS/chip, 2048x2048 D2Q9 TRT + IB cilia "
@@ -122,6 +155,7 @@ def main():
             "value": round(mlups, 1),
             "unit": "MLUPS",
             "vs_baseline": round(mlups / REFERENCE_MLUPS, 1),
+            "diag": diag,
         }))
     except Exception as e:  # noqa: BLE001 — always emit the JSON line
         log(f"benchmark failed: {e!r}")
@@ -131,6 +165,7 @@ def main():
             "value": 0.0,
             "unit": "MLUPS",
             "vs_baseline": 0.0,
+            "diag": diag,
         }))
         raise
 

@@ -85,16 +85,31 @@ def save_orbax(path: str, state: FlowState, cfg: SimConfig) -> None:
     Crash-safe like save(): orbax's own commit protocol makes the WRITE
     atomic, but ``force=True`` on the final path would delete the previous
     good checkpoint before writing — so the new one is written beside it
-    and swapped in with directory renames."""
+    and swapped in with directory renames.  In a multi-process job the
+    checkpoint directory is shared storage and orbax coordinates the
+    commit across processes; the swap itself must then run on exactly ONE
+    process (process 0), fenced by barriers so no rank races the rename
+    (found by tests/test_multihost.py)."""
     import os
     import shutil
 
+    import jax
     import orbax.checkpoint as ocp
+
+    multi = jax.process_count() > 1
+
+    def barrier(tag):
+        if multi:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"iblb_orbax_{tag}")
 
     path = os.path.abspath(path)
     tmp = path + ".tmp"
     old = path + ".old"
-    shutil.rmtree(tmp, ignore_errors=True)
+    if jax.process_index() == 0:
+        shutil.rmtree(tmp, ignore_errors=True)
+    barrier("clean")
     with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ckptr:
         ckptr.save(
             tmp,
@@ -104,11 +119,13 @@ def save_orbax(path: str, state: FlowState, cfg: SimConfig) -> None:
             ),
             force=True,
         )
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    if jax.process_index() == 0:
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    barrier("swap")
 
 
 def load_orbax(path: str, cfg: SimConfig | None = None,

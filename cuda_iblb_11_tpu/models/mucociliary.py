@@ -144,8 +144,8 @@ class MucociliarySim:
                 storage=self.storage, emit_moments=self._emit)
             if self.temporal > 1:
                 from cuda_iblb_11_tpu.ops.pallas_step import (
-                    _pick_tile, make_band_super_substep,
-                    make_sharded_fused_substep, make_temporal_bulk_substep,
+                    make_band_super_substep, make_sharded_fused_substep,
+                    make_temporal_bulk_substep, pick_band_leg_tile,
                 )
 
                 band = cfg.force_band
@@ -174,20 +174,8 @@ class MucociliarySim:
                 # kernel exposes its row band-1 f1 as the bulk's seam halo
                 # — everything stays inside Mosaic, so the temporal path
                 # remains bit-identical to the single-step kernel.
-                # Tile choice minimizes the extended block's TOTAL rows
-                # (band + pad): pad is rounded up to a whole tile, so a
-                # large tile (e.g. 64) would force pad=64 ghost rows when
-                # only K are needed — 33% extra band DMA at K=16.  Among
-                # row-minimal tiles prefer the largest (fewer grid steps).
-                ty_max = min(_pick_tile(band, cfg.xdim, self.dtype.itemsize,
-                                        True), band)
-                align = 16 if self.dtype.itemsize == 2 else 8
-                cands = [t for t in (64, 32, 16, 8)
-                         if t <= ty_max and band % t == 0 and t % align == 0]
-                ty0 = min(cands or [ty_max],
-                          key=lambda t: (band + -(-self.temporal // t) * t,
-                                         -t))
-                pad = -(-self.temporal // ty0) * ty0
+                ty0, pad = pick_band_leg_tile(cfg, self.temporal,
+                                              self.dtype)
                 if cfg.ydim - band < pad:
                     raise ValueError(
                         "temporal blocking needs ydim well above the force "

@@ -722,6 +722,27 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
     return substep
 
 
+def pick_band_leg_tile(cfg, n_steps: int, dtype, xdim: int | None = None):
+    """(tile rows, ghost pad rows) for the per-sub-step band leg of the
+    temporal mode.  The band leg runs on an EXTENDED block — the force
+    band plus a `pad`-row throwaway copy of the bulk bottom (the classic
+    temporal-blocking ghost trapezoid, pad >= K) — so the tile choice
+    minimizes the extended block's TOTAL rows (pad rounds up to a whole
+    tile); among row-minimal tiles prefer the largest (fewer grid steps).
+    """
+    dtype = jnp.dtype(dtype)
+    band = cfg.force_band
+    xd = int(xdim) if xdim is not None else cfg.xdim
+    K = int(n_steps)
+    ty_max = min(_pick_tile(band, xd, dtype.itemsize, True), band)
+    align = 16 if dtype.itemsize == 2 else 8
+    cands = [t for t in (64, 32, 16, 8)
+             if t <= ty_max and band % t == 0 and t % align == 0]
+    ty0 = min(cands or [ty_max],
+              key=lambda t: (band + -(-K // t) * t, -t))
+    return ty0, -(-K // ty0) * ty0
+
+
 def _collide_tile(f, gx, gy, *, tau, tau2, forcing, storage):
     """Pair-form TRT + Guo collide of nine (r, X) planes (identical
     arithmetic to the _pipelined_kernel collide phase).  gx=gy=None means
@@ -1195,11 +1216,18 @@ def _band_super_kernel(
         ww = jax.lax.broadcasted_iota(jnp.int32, (npt, W), 1)
         dxw = delta_1d(jnp.abs((ww - ax_m).astype(cdt) - fx_m))  # [npt,W]
         lo = m * cw  # window start within qpad (= m*cw - halo + halo)
+        # full-precision MXU passes: the TPU's default f32 dot runs
+        # reduced-precision bf16 passes, which the stiff IB feedback
+        # amplifies to ~6e-4 velocity error at 2048^2 (measured r3 vs
+        # the f64 oracle; 4.8e-6 with this fix).  Mosaic supports only
+        # DEFAULT|HIGHEST in-kernel; HIGHEST costs ~9% of the K=16 rate
+        # (13.55k -> 12.3k MLUPS) — the accuracy claim is worth it
+        prec = jax.lax.Precision.HIGHEST
         iq = []
         for p in qpad:
             t2 = jax.lax.dot_general(
                 p[:, lo:lo + W], dxw, (((1,), (1,)), ((), ())),
-                preferred_element_type=cdt)             # [band, npt]
+                preferred_element_type=cdt, precision=prec)  # [band, npt]
             iq.append(jnp.sum(dy * t2, axis=0, keepdims=True))  # [1, npt]
         us_x = us_ref[s, 0, m].reshape(1, npt).astype(cdt)
         us_y = us_ref[s, 1, m].reshape(1, npt).astype(cdt)
@@ -1207,9 +1235,11 @@ def _band_super_kernel(
         a_x = (2.0 * (us_x * iq[0] - iq[1])) * em       # [1, npt]
         a_y = (2.0 * (us_y * iq[0] - iq[2])) * em
         sx = jax.lax.dot_general(dy * a_x, dxw, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=cdt)  # [band, W]
+                                 preferred_element_type=cdt,
+                                 precision=prec)              # [band, W]
         sy = jax.lax.dot_general(dy * a_y, dxw, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=cdt)
+                                 preferred_element_type=cdt,
+                                 precision=prec)
         fpad[0, :, lo:lo + W] = fpad[0, :, lo:lo + W] + sx
         fpad[1, :, lo:lo + W] = fpad[1, :, lo:lo + W] + sy
 
@@ -1408,7 +1438,7 @@ def _ghost_temporal_kernel(
     flags, f_hbm, bot_hbm, top_hbm, bhalos, out_ref, flux_ref, fsl, rings,
     sem,
     *, yl, xdim, ty, n_steps, band, tau, tau2, forcing, walls, storage,
-    flux_lane, cdt, align=8,
+    cdt, align=8,
 ):
     """Communication-avoiding K-step kernel for one y-shard's rows.
 
@@ -1436,6 +1466,12 @@ def _ghost_temporal_kernel(
       flags[3] (n_band_tiles)  number of OWNED tiles that are band rows,
           clip(band - y0, 0, yl) // ty: the flux skips those tiles (the
           band kernel integrates them with the force correction).
+      flags[4] (flux_lane)  LOCAL lane of the reference's flux column
+          x = XDIM-5 (ImmersedBoundary.cu:259-264) within this block's
+          width — runtime because an x-sharded block holds a different
+          window of the global lanes per shard.
+      flags[5] (flux_owned)  1 iff the flux column lies in this shard's
+          OWNED lanes; other shards contribute zero to the psum.
 
       A shard entirely below the band (y0+yl <= band) has inject=0 and
       n_band_tiles=yl/ty: all its owned rows are garbage here and are
@@ -1463,6 +1499,8 @@ def _ghost_temporal_kernel(
     is_top_shard = flags[1] == 1
     j_seam = flags[2]                # tile whose cy=+1 prev is the seam
     jlo_flux = 1 + flags[3]          # skip the owned band tiles
+    flux_lane = flags[4]             # local lane of the flux column
+    flux_owned = flags[5] == 1
 
     colmask = (jax.lax.broadcasted_iota(jnp.int32, (1, xdim), 1)
                == flux_lane).astype(cdt)
@@ -1564,8 +1602,10 @@ def _ghost_temporal_kernel(
     def flux_gate(j, total):
         # select, not multiply: excluded (ghost/band) tiles hold garbage
         # that can be NaN, and NaN * 0 == NaN
-        return jnp.where(jnp.logical_and(j >= jlo_flux, j < n_tiles - 1),
-                         total.astype(jnp.float32), 0.0)
+        keep = jnp.logical_and(
+            flux_owned,
+            jnp.logical_and(j >= jlo_flux, j < n_tiles - 1))
+        return jnp.where(keep, total.astype(jnp.float32), 0.0)
 
     def add_flux(s, j, rho, mom_x):
         ux_col = colsum(mom_x) / colsum(rho)
@@ -1620,33 +1660,42 @@ def make_ghost_temporal_substep(cfg, yl: int, n_steps: int,
                                 dtype=jnp.float32,
                                 forcing: str = "trt_split",
                                 storage: str = "raw",
-                                interpret: bool | None = None):
-    """Build the communication-avoiding K-step bulk update for one y-shard
+                                interpret: bool | None = None,
+                                width: int | None = None):
+    """Build the communication-avoiding K-step bulk update for one shard
     (parallel/sharded.ShardedTemporalSim).
 
     Call signature:
         substep(flags, f_loc, bot_ghost, top_ghost, bhalos)
-            -> (f_block_new [9, yl + 2*pad, X], flux [K])
+            -> (f_block_new [9, yl + 2*pad, W], flux [K])
 
-    flags = int32 [inject, is_top, j_seam, n_band_tiles] (see the kernel
-    docstring); bot/top_ghost are [9, pad, X] row blocks ppermuted from
-    the y-neighbours (pad == 16); bhalos is the band super-kernel's
-    per-sub-step seam output (used only when inject).  The caller slices
-    rows [pad, pad+yl) of the output — the ghost rows are the consumed
-    trapezoid.  Flux covers this shard's OWNED force-free rows only (the
-    band tiles are skipped; the band kernel integrates those with the
-    force correction).
+    flags = int32 [inject, is_top, j_seam, n_band_tiles, flux_lane,
+    flux_owned] (see the kernel docstring); bot/top_ghost are [9, pad, W]
+    row blocks ppermuted from the y-neighbours (pad == 16); bhalos is the
+    band leg's per-sub-step seam output (used only when inject).  The
+    caller slices rows [pad, pad+yl) of the output — the ghost rows are
+    the consumed trapezoid.  Flux covers this shard's OWNED force-free
+    rows only (the band tiles are skipped; the band kernel integrates
+    those with the force correction).
 
     The force band may span shard boundaries (yl < band is legal): shards
     below the band/bulk seam produce garbage band rows that the caller
     replaces with the band kernel's output.
+
+    width: the block's lane count W.  The default (cfg.xdim) is the
+    unsharded-x case, where the kernel's periodic lane roll is globally
+    exact.  An x-sharded caller passes W = xl + 2*xpad with xpad >= 128
+    ghost columns ppermuted from the x-neighbours: the roll then wraps
+    the LOCAL extended block, whose edge-column garbage creeps inward one
+    lane per sub-step and dies inside the x-pad (the same overlapped
+    trapezoid as the y-ghosts, turned sideways).
     """
     if walls.left != "periodic":
         raise NotImplementedError("pallas backend requires periodic x walls")
     if walls.top not in ("slip", "noslip"):
         raise NotImplementedError(
             "ghost temporal kernel supports top=slip|noslip")
-    xdim = cfg.xdim
+    xdim = int(width) if width is not None else cfg.xdim
     band = cfg.force_band
     K = int(n_steps)
     ty = 16
@@ -1668,8 +1717,7 @@ def make_ghost_temporal_substep(cfg, yl: int, n_steps: int,
         _ghost_temporal_kernel,
         yl=yl, xdim=xdim, ty=ty, n_steps=K, band=band,
         tau=float(cfg.tau), tau2=float(cfg.tau2), forcing=forcing,
-        walls=walls, storage=storage, flux_lane=int(cfg.flux_x),
-        cdt=cdt, align=align,
+        walls=walls, storage=storage, cdt=cdt, align=align,
     )
     footprint = (
         (3 * K) * 9 * ty * xdim * cdt.itemsize        # f1 rings

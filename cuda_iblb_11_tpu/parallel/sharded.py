@@ -121,8 +121,15 @@ class ShardedMucociliarySim:
     def __init__(self, cfg: SimConfig, mesh: Mesh,
                  walls: ref.WallSpec = ref.REFERENCE_WALLS,
                  forcing: str = "trt_split", pattern: str = "no_mucus",
-                 dtype=None):
+                 dtype=None, *, ib_x_edge: str = "periodic"):
         cfg.validate()
+        if ib_x_edge not in ("periodic", "reference"):
+            raise ValueError(f"unknown ib_x_edge {ib_x_edge!r}")
+        # "reference" = the CUDA's row-aliasing/drop quirk at the periodic
+        # x edges (ops/ib.py docstring) — supported on this jnp sharded
+        # path so strict-parity studies can run at scale; the pallas
+        # subclasses use the band-matmul IB and keep the physical wrap.
+        self.ib_x_edge = ib_x_edge
         # _local_lb_substep only implements the reference channel's wall
         # fixups; reject anything else rather than silently simulating it
         # as fully periodic.
@@ -185,15 +192,20 @@ class ShardedMucociliarySim:
         y0 = iy * self.yl
         x0 = ix * self.xl
 
-        # Cilia kinematics: replicated (tiny).
+        # Cilia kinematics: replicated (tiny).  lasts_new can come out of
+        # the scoped-x64 kinematics as f64; the loop carry must keep the
+        # state dtype (found by the multi-host CPU test, which runs
+        # without the test suite's global x64).
         s, u_s, eps, lasts_new = self.cilia.boundary_state(it, lasts)
+        lasts_new = lasts_new.astype(lasts.dtype)
 
         f_new = _local_lb_substep(
             f_loc, force_loc, cfg.tau, cfg.tau2, self.walls, self.forcing,
             is_bottom, is_top, self.storage)
 
         # --- IB interpolation: ownership-masked local gather + psum ------
-        xw, yc, w, valid = ib._stencil(s, cfg.xdim, cfg.ydim)
+        xw, yc, w, valid = ib._stencil(
+            s, cfg.xdim, cfg.ydim, ib._alias_mode(self.ib_x_edge, "interp"))
         w = jnp.where(valid, w, 0.0)                       # [Ns, 9]
         own = ((yc >= y0) & (yc < y0 + self.yl)
                & (xw >= x0) & (xw < x0 + self.xl))
@@ -213,8 +225,22 @@ class ShardedMucociliarySim:
         f_s = jax.lax.psum(jax.lax.psum(f_s, "x"), "y")    # [Ns, 2]
 
         # --- IB spreading into the local block ---------------------------
-        ws = wm * eps[:, None].astype(w.dtype)
-        flat = (yloc * self.xl + xloc).reshape(-1)
+        if self.ib_x_edge == "periodic":
+            # interp and spread share the wrapped stencil
+            ws_w, ws_yloc, ws_xloc = wm, yloc, xloc
+        else:
+            # quirk mode: spread DROPS the periodic images while interp
+            # row-aliases — two different stencils (ops/ib.py)
+            xw2, yc2, w2, valid2 = ib._stencil(
+                s, cfg.xdim, cfg.ydim,
+                ib._alias_mode(self.ib_x_edge, "spread"))
+            own2 = ((yc2 >= y0) & (yc2 < y0 + self.yl)
+                    & (xw2 >= x0) & (xw2 < x0 + self.xl))
+            ws_w = jnp.where(valid2 & own2, w2, 0.0)
+            ws_yloc = jnp.clip(yc2 - y0, 0, self.yl - 1)
+            ws_xloc = jnp.clip(xw2 - x0, 0, self.xl - 1)
+        ws = ws_w * eps[:, None].astype(w.dtype)
+        flat = (ws_yloc * self.xl + ws_xloc).reshape(-1)
         vals = (f_s.T[:, :, None] * ws[None]).reshape(2, -1)
         force_new = jnp.zeros((2, self.yl * self.xl), f_new.dtype)
         force_new = force_new.at[:, flat].add(vals).reshape(
@@ -417,11 +443,14 @@ class ShardedPallasSim(_ShardedPallasChunkMixin, ShardedMucociliarySim):
         return jnp.where((idx < band)[None, :, None], rows,
                          jnp.zeros_like(rows))
 
-    def _patch_x_seams(self, f_new, w_ext, e_ext, is_bottom, is_top):
+    def _patch_x_seams(self, f_new, w_ext, e_ext, is_bottom, is_top,
+                       yl=None):
         """Re-pull the two edge output columns from the x-neighbours' f1
         columns (extended with the diagonal corners).  Rows owned by a
-        wall fixup keep the kernel's value."""
-        yl, xl = self.yl, self.xl
+        wall fixup keep the kernel's value.  yl overrides the block's row
+        count (the temporal band leg patches a band+pad block)."""
+        yl = self.yl if yl is None else yl
+        xl = f_new.shape[2]
         rows = jnp.arange(yl)
         walls = self.walls
         for d, ext, lane in ((1, w_ext, 0), (5, w_ext, 0), (8, w_ext, 0),
@@ -627,13 +656,24 @@ class ShardedTemporalSim(ShardedPallasSim):
 
     Scale-out analogue of the temporal mode of models/mucociliary (the
     reference, LatticeBoltzmann.cu:30-411 + ImmersedBoundary.cu:138-264,
-    has no multi-GPU path at all).  Restrictions: (n_y, 1) meshes with
-    n_y >= 2, yl a multiple of 16, plus the band super-kernel's window
-    eligibility (c_space % 128 == 0 etc.).  The force band may span shard
-    boundaries (yl < force_band + pad — e.g. the reference's own ydim=192
-    under (2,1) slicing): the band block is then assembled by a masked
-    psum each super-step, every shard runs the band kernel on the true
-    data, and each takes its own slice of the (replicated) band output.
+    has no multi-GPU path at all).  Restrictions: >= 2 shards, yl a
+    multiple of 16, xl a lane multiple on TPU.  The force band may span
+    shard boundaries (yl < force_band + pad — e.g. the reference's own
+    ydim=192 under (2,1) slicing): the band block is then assembled by a
+    masked psum each super-step, every shard runs the band kernel on the
+    true data, and each takes its own slice of the (replicated) band
+    output.
+
+    On x-sharded meshes (n_x > 1), or whenever the band super-kernel is
+    ineligible (X too wide for VMEM — BASELINE config-5's 8192 — or
+    c_space not lane-aligned), the band leg switches from the resident
+    super-kernel to the TILED per-sub-step leg (_super_body_tiled): K
+    launches of the sharded fused kernel on the band+pad trapezoid block
+    with the full IB coupling per sub-step, while the bulk still advances
+    K steps per ghost-kernel launch with ghost COLUMNS ppermuted next to
+    the ghost rows (the x-trapezoid).  Same physics, exact to round-off;
+    the bulk (the overwhelming share of rows at scale) keeps the K-fold
+    HBM and message savings.
     """
 
     def __init__(self, cfg: SimConfig, mesh: Mesh,
@@ -644,13 +684,10 @@ class ShardedTemporalSim(ShardedPallasSim):
                          interpret=interpret)
         from cuda_iblb_11_tpu.ops.pallas_step import (
             make_band_super_substep, make_ghost_temporal_substep,
+            make_sharded_fused_substep, pick_band_leg_tile,
         )
 
-        if self.n_x != 1:
-            raise ValueError(
-                "ShardedTemporalSim supports (n_y, 1) meshes; use "
-                "ShardedPallasSim for 2-D meshes")
-        if self.n_y < 2:
+        if self.n_y * self.n_x < 2:
             raise ValueError(
                 "single-shard meshes: use MucociliarySim(temporal=K)")
         K = int(temporal)
@@ -668,14 +705,48 @@ class ShardedTemporalSim(ShardedPallasSim):
         # assembled across shards by a masked psum each super-step and the
         # band kernel's output rows are scattered back per shard.
         self._band_gather = self.yl < cfg.force_band + pad_s
+        # x-sharded bulk: the ghost kernel runs on an x-EXTENDED block
+        # (128 ghost columns per side, ppermuted once per super-step; the
+        # kernel's local lane roll is then exact except inside the pad,
+        # where the x-trapezoid garbage dies).
+        self._xpad = 128 if self.n_x > 1 else 0
+        if self.xl < self._xpad:
+            raise ValueError(
+                f"x-sharded temporal blocking needs xl >= {self._xpad} "
+                f"(one-hop ghost-column exchange), got xl={self.xl}")
         # rejects K > 16 and yl % 16 != 0
         self._ghost_substep = make_ghost_temporal_substep(
             cfg, self.yl, K, walls, self.dtype, forcing=forcing,
-            storage=self.storage, interpret=interpret)
+            storage=self.storage, interpret=interpret,
+            width=self.xl + 2 * self._xpad)
         self._ghost_pad = self._ghost_substep.pad
-        self._band_super = make_band_super_substep(
-            cfg, pad_s, K, walls, self.dtype, forcing=forcing,
-            storage=self.storage, interpret=interpret, pattern=pattern)
+        # Band leg: the resident-band super-kernel when eligible and the
+        # mesh is not x-sharded; otherwise the TILED per-sub-step leg (the
+        # sharded fused kernel on band+pad rows x the shard's own columns
+        # + partial-integral IB with psum('x') — the path that scales
+        # BASELINE config-5's 8192-wide band, where the super-kernel is
+        # VMEM-ineligible).
+        self._band_super = None
+        if self.n_x == 1:
+            try:
+                self._band_super = make_band_super_substep(
+                    cfg, pad_s, K, walls, self.dtype, forcing=forcing,
+                    storage=self.storage, interpret=interpret,
+                    pattern=pattern)
+            except ValueError:
+                pass
+        if self._band_super is None:
+            ty0, pad_b = pick_band_leg_tile(cfg, K, self.dtype, self.xl)
+            if cfg.ydim < cfg.force_band + pad_b:
+                raise ValueError(
+                    f"temporal blocking needs ydim >= force_band + {pad_b}"
+                    f" (got ydim={cfg.ydim}, band={cfg.force_band})")
+            self._band_pad = pad_b
+            self._band_substep = make_sharded_fused_substep(
+                cfg, cfg.force_band + pad_b, walls, self.dtype,
+                forcing=forcing, storage=self.storage,
+                interpret=interpret, tile_y=ty0, xl=self.xl,
+                expose_f1_row=cfg.force_band - 1)
         self._chunk_cache = {}
 
     def _super_body(self, f_loc, force, q, xs):
@@ -721,6 +792,8 @@ class ShardedTemporalSim(ShardedPallasSim):
             (iy == n_y - 1).astype(jnp.int32),
             (pad + lb) // ty_g,
             lb // ty_g,
+            jnp.int32(cfg.flux_x),   # local == global lane (n_x == 1)
+            jnp.int32(1),
         ]).astype(jnp.int32)
         f_block, flux_bulk = self._ghost_substep(
             flags, f_loc, bot_ghost, top_ghost, bhalos)
@@ -750,9 +823,168 @@ class ShardedTemporalSim(ShardedPallasSim):
         q = q + jax.lax.psum(flux, "y") / 192.0
         return f_new, force_new.astype(force.dtype), q
 
-    # force sharding: the inherited P(None, None, "x") over the enforced
-    # n_x == 1 axis is full replication, which the per-super-step psum
-    # maintains (every shard ends each super-step with the same force)
+    # force sharding: the inherited P(None, None, "x") — x-sharded
+    # columns; over an n_x == 1 axis that is full replication, which the
+    # per-super-step psum/identical-recompute maintains
+
+    def _band_substep_x(self, blk, force, flags_b):
+        """One sub-step of the band+pad block through the sharded fused
+        kernel: bottom wall inside the kernel, top rows = ghost trapezoid
+        (zero thalo, garbage creeps one row per sub-step), x-halo f1
+        exchange + x-seam patch when the mesh is x-sharded.  Returns
+        (blk_new, seam f1 of row band-1) — collision is cell-local, so
+        the exposed seam row is exact regardless of the x seams."""
+        cfg = self.cfg
+        rows = cfg.force_band + self._band_pad
+        xl, n_x = self.xl, self.n_x
+        aux = self.dtype if self.dtype.itemsize >= 4 else jnp.float32
+        zero8 = jnp.zeros((9, 8, xl), aux)
+        if n_x > 1:
+            fwd_x = [(k, (k + 1) % n_x) for k in range(n_x)]
+            bwd_x = [(k, (k - 1) % n_x) for k in range(n_x)]
+            tau, tau2 = cfg.tau, cfg.tau2
+
+            def collide_col(lane):
+                fc = self._band_force_rows(force, 0, rows, lane=lane)
+                return ref.collide_rows(
+                    blk[:, :, lane:lane + 1].astype(aux), fc.astype(aux),
+                    tau, tau2, self.forcing, self.storage)
+
+            f1_w = collide_col(0)
+            f1_e = collide_col(xl - 1)
+            w_halo = jax.lax.ppermute(f1_e, "x", fwd_x)  # from shard ix-1
+            e_halo = jax.lax.ppermute(f1_w, "x", bwd_x)  # from shard ix+1
+        blk_new, bh = self._band_substep(flags_b, blk, force, zero8, zero8)
+        if n_x > 1:
+            # extend with duplicated end rows: only the trapezoid's top
+            # row and the wall-protected bottom rows ever read them
+            def ext(h):
+                return jnp.concatenate(
+                    [h[:, 0:1, :], h, h[:, rows - 1:rows, :]], axis=1)
+
+            blk_new = self._patch_x_seams(
+                blk_new, ext(w_halo), ext(e_halo),
+                jnp.bool_(True), jnp.bool_(False), yl=rows)
+        return blk_new, bh
+
+    def _super_body_tiled(self, f_loc, force, q, xs):
+        """K-step super-step with the TILED per-sub-step band leg: the
+        band block (rows [0, band+pad_b) x the shard's own columns,
+        y-replicated) advances K single sub-steps through the sharded
+        fused kernel with full IB coupling per sub-step (partial delta
+        integrals + psum('x'), ib_band.interpolate_partial/spread_local),
+        collecting the per-sub-step seam f1; the bulk then advances K
+        steps in ONE ghost-temporal-kernel launch on the x/y-extended
+        block.  Engages when the resident-band super-kernel is ineligible
+        (X too wide for VMEM, c_space not lane-aligned) or the mesh is
+        x-sharded — including BASELINE config-5 (8192^2) on 2-D meshes."""
+        from cuda_iblb_11_tpu.ops import ib_band
+
+        cfg = self.cfg
+        band = cfg.force_band
+        yl, xl, n_y, n_x = self.yl, self.xl, self.n_y, self.n_x
+        pad = self._ghost_pad
+        xpad = self._xpad
+        K = self.temporal
+        u_s, eps, anchor, frac = xs
+        iy = jax.lax.axis_index("y")
+        ix = jax.lax.axis_index("x")
+        y0 = iy * yl
+        x0 = ix * xl
+        aux = self.dtype if self.dtype.itemsize >= 4 else jnp.float32
+        force_dt = force.dtype
+        fwd_y = [(k, (k + 1) % n_y) for k in range(n_y)]
+        bwd_y = [(k, (k - 1) % n_y) for k in range(n_y)]
+
+        # --- x/y-extended bulk block + ghosts (ONE exchange per K steps)
+        if n_x > 1:
+            fwd_x = [(k, (k + 1) % n_x) for k in range(n_x)]
+            bwd_x = [(k, (k - 1) % n_x) for k in range(n_x)]
+            lg = jax.lax.ppermute(f_loc[:, :, xl - xpad:], "x", fwd_x)
+            rg = jax.lax.ppermute(f_loc[:, :, :xpad], "x", bwd_x)
+            f_x = jnp.concatenate([lg, f_loc, rg], axis=2)
+        else:
+            f_x = f_loc
+        bot_ghost = jax.lax.ppermute(f_x[:, yl - pad:, :], "y", fwd_y)
+        top_ghost = jax.lax.ppermute(f_x[:, :pad, :], "y", bwd_y)
+
+        # --- band block: rows [0, band+pad_b) of the shard's own columns,
+        # assembled across the y-shards (then y-replicated: every shard
+        # runs the band leg — the owner row is the critical path anyway)
+        ext = band + self._band_pad
+        g = jnp.arange(ext, dtype=jnp.int32)
+        own_row = (g >= y0) & (g < y0 + yl)
+        vals = f_loc[:, jnp.clip(g - y0, 0, yl - 1), :]
+        blk = jax.lax.psum(
+            jnp.where(own_row[None, :, None], vals, jnp.zeros_like(vals)),
+            "y")
+
+        # --- K band sub-steps with per-sub-step IB ------------------------
+        fx_col = cfg.flux_x
+        col_owned = (fx_col >= x0) & (fx_col < x0 + xl)
+        lane = jnp.clip(fx_col - x0, 0, xl - 1)
+        flags_b = jnp.array([0, 1, 0], jnp.int32)  # y0=0, bottom wall
+        cxv = jnp.asarray(C[:, 0], aux)
+        force = force.astype(aux)
+        bhs = []
+        flux_band = jnp.zeros((), aux)
+        for s in range(K):
+            blk, bh = self._band_substep_x(blk, force, flags_b)
+            anchored = (anchor[s], frac[s])
+            i_q = ib_band.interpolate_partial(
+                blk, cfg.xdim, band, 0, x0, band, storage=self.storage,
+                anchored=anchored)
+            i_q = jax.lax.psum(i_q, "x")
+            f_s = ib_band.finish_interpolate(i_q, u_s[s].astype(i_q.dtype))
+            force = ib_band.spread_local(
+                f_s, eps[s], cfg.xdim, band, x0, xl,
+                anchored=anchored).astype(aux)
+            # flux: band rows' u_x at the flux column, half-force
+            # corrected (ImmersedBoundary.cu:249-264)
+            col_f = blk[:, :band, lane].astype(aux)
+            rho_col = jnp.sum(col_f, axis=0)
+            if self.storage == "deviatoric":
+                rho_col = 1.0 + rho_col
+            mom_col = jnp.einsum("iy,i->y", col_f, cxv,
+                                 precision=jax.lax.Precision.HIGH)
+            uxc = (mom_col + 0.5 * force[0, :, lane]) / rho_col
+            flux_band = flux_band + jnp.where(col_owned, jnp.sum(uxc), 0.0)
+            bhs.append(bh)
+        bhalos = jnp.stack(bhs)                          # [K, 9, 8, xl]
+        if n_x > 1:
+            lgb = jax.lax.ppermute(bhalos[..., xl - xpad:], "x", fwd_x)
+            rgb = jax.lax.ppermute(bhalos[..., :xpad], "x", bwd_x)
+            bhalos = jnp.concatenate([lgb, bhalos, rgb], axis=-1)
+
+        # --- bulk: one ghost-kernel launch for K sub-steps ----------------
+        lb = jnp.clip(band - y0, 0, yl)
+        inject = jnp.logical_and(y0 <= band, band < y0 + yl)
+        ty_g = pad
+        flags = jnp.stack([
+            inject.astype(jnp.int32),
+            (iy == n_y - 1).astype(jnp.int32),
+            (pad + lb) // ty_g,
+            lb // ty_g,
+            jnp.int32(xpad) + lane,
+            col_owned.astype(jnp.int32),
+        ]).astype(jnp.int32)
+        f_block, flux_bulk = self._ghost_substep(
+            flags, f_x, bot_ghost, top_ghost, bhalos)
+        mid = jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(f_block, pad, pad + yl, axis=1),
+            xpad, xpad + xl, axis=2)
+
+        # scatter the (y-replicated) band rows back into this shard's rows
+        fbp = jnp.concatenate(
+            [blk[:, :band].astype(mid.dtype),
+             jnp.zeros((9, yl, xl), mid.dtype)], axis=1)
+        band_loc = jax.lax.dynamic_slice_in_dim(fbp, y0, yl, axis=1)
+        rows_g = y0 + jnp.arange(yl, dtype=jnp.int32)
+        f_new = jnp.where((rows_g < band)[None, :, None], band_loc, mid)
+        flux = (jnp.where(iy == 0, flux_band, jnp.zeros_like(flux_band))
+                + jnp.sum(flux_bulk).astype(flux_band.dtype))
+        q = q + jax.lax.psum(jax.lax.psum(flux, "x"), "y") / 192.0
+        return f_new, force.astype(force_dt), q
 
     def _make_chunk(self, n_steps: int):
         from cuda_iblb_11_tpu.models.mucociliary import (
@@ -764,18 +996,27 @@ class ShardedTemporalSim(ShardedPallasSim):
         n_super, rem = divmod(n_steps, K)
         nk = n_super * K
         aux = self.dtype if self.dtype.itemsize >= 4 else jnp.float32
-        halo = self._band_super.halo
+        halo = 0 if self._band_super is None else self._band_super.halo
 
         def local_chunk(f, force, lasts, q, it):
             pos, u_s, eps, anchor, frac = self._boundary_series(it, n_steps)
 
             if n_super:
-                xs_sup = prep_band_super_points(
-                    cfg, K, halo, aux, u_s[:nk], eps[:nk], anchor[:nk],
-                    frac[:nk], n_super)
+                if self._band_super is not None:
+                    xs_sup = prep_band_super_points(
+                        cfg, K, halo, aux, u_s[:nk], eps[:nk], anchor[:nk],
+                        frac[:nk], n_super)
+                    body = self._super_body
+                else:
+                    def rs(x):
+                        return x.reshape((n_super, K) + x.shape[1:])
+
+                    xs_sup = (rs(u_s[:nk]), rs(eps[:nk]), rs(anchor[:nk]),
+                              rs(frac[:nk]))
+                    body = self._super_body_tiled
 
                 def sbody(carry, xs):
-                    return self._super_body(*carry, xs), None
+                    return body(*carry, xs), None
 
                 (f, force, q), _ = jax.lax.scan(
                     sbody, (f, force, q), xs_sup)

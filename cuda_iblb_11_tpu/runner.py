@@ -25,9 +25,11 @@ def _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge="periodic"):
     if not mesh:
         return MucociliarySim(cfg, backend=backend, forcing=forcing,
                               temporal=temporal, ib_x_edge=ib_x_edge)
-    if ib_x_edge != "periodic":
+    if ib_x_edge != "periodic" and backend == "pallas":
         raise NotImplementedError(
-            "the strict-parity IB x-edge mode is single-device only")
+            "the strict-parity IB x-edge mode runs on the jnp backends "
+            "(single-device or the jnp sharded path); drop --backend "
+            "pallas")
     import jax
 
     from cuda_iblb_11_tpu.parallel.sharded import (
@@ -42,7 +44,8 @@ def _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge="periodic"):
     xl = cfg.xdim // parts[1]
     pallas_ok = (jax.default_backend() == "tpu" and xl % 128 == 0
                  and cfg.ydim % (8 * parts[0]) == 0
-                 and str(cfg.dtype) in ("float32", "bfloat16"))
+                 and str(cfg.dtype) in ("float32", "bfloat16")
+                 and ib_x_edge == "periodic")
     if backend == "pallas" or (backend == "auto" and pallas_ok):
         if temporal > 1:
             # communication-avoiding K-step path ((n_y, 1) meshes); fall
@@ -62,7 +65,8 @@ def _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge="periodic"):
         print(f"warning: --temporal {temporal} requires the sharded pallas "
               f"path; the jnp sharded backend steps one iteration at a "
               f"time (temporal ignored)", file=sys.stderr)
-    return ShardedMucociliarySim(cfg, m, forcing=forcing)
+    return ShardedMucociliarySim(cfg, m, forcing=forcing,
+                                 ib_x_edge=ib_x_edge)
 
 
 def _select_device(cfg: SimConfig, mesh=None):

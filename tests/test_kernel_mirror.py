@@ -55,8 +55,10 @@ def test_ghost_kernel_bit_equals_temporal_kernel(K):
     ghost = make_ghost_temporal_substep(CFG, ydim, K, dtype=jnp.float64)
     pad = ghost.pad
     nan_ghost = jnp.full((9, pad, CFG.xdim), jnp.nan, jnp.float64)
-    # [inject, is_top, j_seam, n_band_tiles]: owns the whole band + top
-    flags = jnp.array([1, 1, (pad + band) // 16, band // 16], jnp.int32)
+    # [inject, is_top, j_seam, n_band_tiles, flux_lane, flux_owned]:
+    # owns the whole band, the top wall, and the flux column
+    flags = jnp.array([1, 1, (pad + band) // 16, band // 16,
+                       CFG.flux_x, 1], jnp.int32)
     f_block, flux_ghost = ghost(flags, f_full, nan_ghost, nan_ghost, bhalos)
 
     got = np.asarray(f_block[:, pad + band:pad + ydim])

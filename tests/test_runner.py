@@ -147,14 +147,21 @@ def test_make_sim_warns_on_temporal_fallback(capsys):
     if len(jax.devices()) < 2:
         pytest.skip("needs >= 2 virtual devices")
     from cuda_iblb_11_tpu.parallel.sharded import (
-        ShardedMucociliarySim, ShardedPallasSim,
+        ShardedMucociliarySim, ShardedPallasSim, ShardedTemporalSim,
     )
     from cuda_iblb_11_tpu.runner import _make_sim
 
-    # yl too small for the K-step path -> per-step pallas + stderr warning
+    # ydim=192 under (2,1) is ELIGIBLE since round 3 (the band may span
+    # shard boundaries) — no downgrade, no warning
     cfg = SimConfig(c_num=3, c_space=128, ydim=192)
     sim = _make_sim(cfg, "pallas", "trt_split", 4, "2,1")
-    assert isinstance(sim, ShardedPallasSim)
+    assert isinstance(sim, ShardedTemporalSim)
+    assert capsys.readouterr().err == ""
+
+    # yl % 16 != 0 -> genuinely ineligible -> per-step pallas + warning
+    cfg2 = SimConfig(c_num=3, c_space=128, ydim=208)
+    sim = _make_sim(cfg2, "pallas", "trt_split", 4, "2,1")
+    assert type(sim) is ShardedPallasSim
     assert "falling back to the per-step sharded kernel" in (
         capsys.readouterr().err)
 

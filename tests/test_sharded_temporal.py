@@ -66,8 +66,6 @@ def test_sharded_temporal_four_shards_with_remainder():
 
 @needs_devices
 def test_sharded_temporal_rejects_bad_meshes():
-    with pytest.raises(ValueError, match=r"\(n_y, 1\) meshes"):
-        ShardedTemporalSim(CFG2, make_mesh(2, 2), temporal=4)
     with pytest.raises(ValueError, match="single-shard"):
         ShardedTemporalSim(CFG2, make_mesh(1, 1), temporal=4)
 
@@ -152,3 +150,41 @@ def test_ghost_temporal_rejects_vmem_blowup():
     cfg = SimConfig(c_num=32, c_space=128, ydim=4096, dtype="float32")
     with pytest.raises(ValueError, match="VMEM footprint"):
         make_ghost_temporal_substep(cfg, 1024, 16, interpret=False)
+
+
+@needs_devices
+@pytest.mark.parametrize("K", [2, 4])
+def test_sharded_temporal_tiled_band_leg(K):
+    # c_space=48 windows are super-kernel-ineligible (wider than the
+    # domain) -> the TILED per-sub-step band leg engages; still
+    # oracle-exact (the path that scales config-5's 8192-wide band)
+    cfg = SimConfig(c_num=4, c_space=48, ydim=256, dtype="float64",
+                    storage="raw")
+    st_ref = _oracle(cfg, 8)
+    sim = ShardedTemporalSim(cfg, make_mesh(2, 1), temporal=K)
+    assert sim._band_super is None
+    st = sim.run_chunk(sim.init_state(), 8)
+    np.testing.assert_allclose(
+        np.asarray(st.f), np.asarray(st_ref.f), rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(
+        np.asarray(st.force), np.asarray(st_ref.force), rtol=1e-10,
+        atol=1e-18)
+    np.testing.assert_allclose(float(st.q), float(st_ref.q), rtol=1e-12,
+                               atol=1e-15)
+
+
+@needs_devices
+@pytest.mark.parametrize("n_y,n_x", [(2, 2), (1, 2), (2, 4)])
+def test_sharded_temporal_2d_mesh(n_y, n_x):
+    # x-sharded bulk (ghost COLUMNS ppermuted alongside the ghost rows)
+    # + tiled band leg with per-sub-step x-halo/seam-patch and psum('x')
+    # IB — VERDICT r2 item 2; includes remainder steps (10 = 2*K + 2)
+    cfg = CFG2 if n_x <= 2 else CFG2.replace(c_num=6)  # keep xl >= 128
+    st_ref = _oracle(cfg, 10)
+    sim = ShardedTemporalSim(cfg, make_mesh(n_y, n_x), temporal=4)
+    assert sim._band_super is None  # x-sharded -> tiled leg
+    st = sim.run_chunk(sim.init_state(), 10)
+    np.testing.assert_allclose(
+        np.asarray(st.f), np.asarray(st_ref.f), rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(float(st.q), float(st_ref.q), rtol=1e-12,
+                               atol=1e-15)

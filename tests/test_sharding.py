@@ -173,3 +173,25 @@ def test_sharded_pallas_chunk_equals_steps():
     b = s2.run_chunk(s2.init_state(), 4)
     np.testing.assert_array_equal(np.asarray(a.f), np.asarray(b.f))
     assert float(a.q) == float(b.q)
+
+
+@needs_8_devices
+def test_sharded_quirk_x_edge_matches_single_device():
+    # strict-parity IB x-edge quirk (ImmersedBoundary.cu:119-124 aliasing +
+    # :178-231 dropped periodic images) on the jnp sharded path: N-shard
+    # quirk runs must reproduce the single-device quirk run, so parity
+    # studies of the committed CUDA can run at scale (VERDICT r2 gap 1)
+    a = MucociliarySim(CFG, backend="jnp", ib_x_edge="reference")
+    sa = a.run_chunk(a.init_state(), 8)
+    ssim = ShardedMucociliarySim(CFG, make_mesh(2, 4),
+                                 ib_x_edge="reference")
+    sb = ssim.run_chunk(ssim.init_state(), 8)
+    np.testing.assert_allclose(
+        np.asarray(sb.f), np.asarray(sa.f), rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(float(sb.q), float(sa.q), rtol=1e-11,
+                               atol=1e-16)
+    # and the quirk genuinely bites on this geometry (cilia wrap the
+    # x edge): it must differ from the periodic-wrap default
+    p = MucociliarySim(CFG, backend="jnp")
+    sp = p.run_chunk(p.init_state(), 8)
+    assert float(np.abs(np.asarray(sp.f) - np.asarray(sa.f)).max()) > 1e-12
