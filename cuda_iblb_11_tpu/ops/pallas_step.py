@@ -1060,7 +1060,9 @@ def make_temporal_bulk_substep(cfg, n_rows: int, n_steps: int,
                 break
         if ty is None:
             raise ValueError(
-                f"no tile size fits K={K} temporal kernel for rows={n_rows}")
+                f"no tile size fits K={K} temporal kernel for rows={n_rows}"
+                f" (the 3K f1 rings exceed VMEM at this XDIM — lower K;"
+                f" e.g. 8192-wide grids fit K=8)")
     if n_rows % ty:
         raise ValueError(f"bulk rows {n_rows} not divisible by tile {ty}")
     n_tiles = n_rows // ty
@@ -1129,7 +1131,7 @@ def _band_super_kernel(
     fband_out, bh_out, force_out, flux_out,
     fsc, f1sc, fosc, fpad, sem,
     *, rows, band, xdim, n_steps, c_num, cw, halo, npt, tau, tau2,
-    forcing, storage, flux_lane, cdt, walls,
+    forcing, storage, flux_lane, cdt, walls, mxu_full_precision=True,
 ):
     """Resident-band temporal super-kernel: ALL K band sub-steps plus the
     full IB coupling in ONE launch (see make_band_super_substep)."""
@@ -1221,8 +1223,11 @@ def _band_super_kernel(
         # amplifies to ~6e-4 velocity error at 2048^2 (measured r3 vs
         # the f64 oracle; 4.8e-6 with this fix).  Mosaic supports only
         # DEFAULT|HIGHEST in-kernel; HIGHEST costs ~9% of the K=16 rate
-        # (13.55k -> 12.3k MLUPS) — the accuracy claim is worth it
-        prec = jax.lax.Precision.HIGHEST
+        # (13.55k -> 12.3k MLUPS) — the accuracy claim is worth it.  The
+        # bf16 fast mode skips it: its ~1e-2 storage noise dwarfs the MXU
+        # rounding, so the 6 passes would buy nothing.
+        prec = (jax.lax.Precision.HIGHEST if mxu_full_precision
+                else jax.lax.Precision.DEFAULT)
         iq = []
         for p in qpad:
             t2 = jax.lax.dot_general(
@@ -1369,7 +1374,7 @@ def make_band_super_substep(cfg, pad: int, n_steps: int,
         rows=rows, band=band, xdim=xdim, n_steps=K, c_num=c_num, cw=cw,
         halo=halo, npt=npt, tau=float(cfg.tau), tau2=float(cfg.tau2),
         forcing=forcing, storage=storage, flux_lane=int(cfg.flux_x),
-        cdt=cdt, walls=walls,
+        cdt=cdt, walls=walls, mxu_full_precision=dtype.itemsize >= 4,
     )
     call = pl.pallas_call(
         kernel,
