@@ -1204,7 +1204,10 @@ def _band_super_kernel(
     def padx(p):
         return jnp.concatenate([p[:, xdim - halo:], p, p[:, :halo]], axis=1)
 
-    qpad = [padx(rho), padx(mom_x), padx(mom_y)]
+    # the 3 moment planes stack into ONE lhs so each cilium needs a single
+    # interpolation dot (and one spread dot) — identical arithmetic per
+    # output element, ~half the serialized 6-pass MXU chains at HIGHEST
+    qcat = jnp.concatenate([padx(rho), padx(mom_x), padx(mom_y)], axis=0)
     fpad[...] = jnp.zeros_like(fpad)
 
     # --- IB coupling, one 128-wide point block per cilium ----------------
@@ -1228,25 +1231,22 @@ def _band_super_kernel(
         # rounding, so the 6 passes would buy nothing.
         prec = (jax.lax.Precision.HIGHEST if mxu_full_precision
                 else jax.lax.Precision.DEFAULT)
-        iq = []
-        for p in qpad:
-            t2 = jax.lax.dot_general(
-                p[:, lo:lo + W], dxw, (((1,), (1,)), ((), ())),
-                preferred_element_type=cdt, precision=prec)  # [band, npt]
-            iq.append(jnp.sum(dy * t2, axis=0, keepdims=True))  # [1, npt]
+        t2 = jax.lax.dot_general(
+            qcat[:, lo:lo + W], dxw, (((1,), (1,)), ((), ())),
+            preferred_element_type=cdt, precision=prec)  # [3*band, npt]
+        iq = [jnp.sum(dy * t2[q * band:(q + 1) * band], axis=0,
+                      keepdims=True) for q in range(3)]  # 3 x [1, npt]
         us_x = us_ref[s, 0, m].reshape(1, npt).astype(cdt)
         us_y = us_ref[s, 1, m].reshape(1, npt).astype(cdt)
         em = eps_ref[s, m].reshape(1, npt).astype(cdt)
         a_x = (2.0 * (us_x * iq[0] - iq[1])) * em       # [1, npt]
         a_y = (2.0 * (us_y * iq[0] - iq[2])) * em
-        sx = jax.lax.dot_general(dy * a_x, dxw, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=cdt,
-                                 precision=prec)              # [band, W]
-        sy = jax.lax.dot_general(dy * a_y, dxw, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=cdt,
-                                 precision=prec)
-        fpad[0, :, lo:lo + W] = fpad[0, :, lo:lo + W] + sx
-        fpad[1, :, lo:lo + W] = fpad[1, :, lo:lo + W] + sy
+        sxy = jax.lax.dot_general(
+            jnp.concatenate([dy * a_x, dy * a_y], axis=0), dxw,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=cdt, precision=prec)  # [2*band, W]
+        fpad[0, :, lo:lo + W] = fpad[0, :, lo:lo + W] + sxy[:band]
+        fpad[1, :, lo:lo + W] = fpad[1, :, lo:lo + W] + sxy[band:]
 
     # circular fold of the overlap-add halos -> new force field
     for c in range(2):
@@ -1442,8 +1442,8 @@ def make_band_super_substep(cfg, pad: int, n_steps: int,
 def _ghost_temporal_kernel(
     flags, f_hbm, bot_hbm, top_hbm, bhalos, out_ref, flux_ref, fsl, rings,
     sem,
-    *, yl, xdim, ty, n_steps, band, tau, tau2, forcing, walls, storage,
-    cdt, align=8,
+    *, yl, xdim, ty, pad, n_steps, band, tau, tau2, forcing, walls,
+    storage, cdt, align=8,
 ):
     """Communication-avoiding K-step kernel for one y-shard's rows.
 
@@ -1485,8 +1485,10 @@ def _ghost_temporal_kernel(
       the yl/band alignment requirements) sees only valid bulk ghosts.
 
     Pipeline structure is identical to _temporal_kernel; the only other
-    change is the tiled DMA source: tile 0 reads the bottom ghost, tile
-    n_tiles-1 the top ghost, interior tiles the shard's own rows.
+    change is the tiled DMA source: the first pad/ty tiles read the
+    bottom ghost, the last pad/ty the top ghost, interior tiles the
+    shard's own rows (ty may be smaller than the fixed 16-row pad when
+    VMEM demands it — wide grids at K=8).
 
     MIRROR: the pipeline (assemble/rings/DMA/flux) is deliberately kept
     as a separate copy of _temporal_kernel rather than one parameterized
@@ -1497,13 +1499,13 @@ def _ghost_temporal_kernel(
     """
     i = pl.program_id(0)
     K = n_steps
-    pad = ty
+    n_ghost = pad // ty              # ghost tiles per side
     n_tiles = (yl + 2 * pad) // ty
     t_wall = (pad + yl) // ty - 1    # tile containing the top wall row
     do_inject = flags[0] == 1
     is_top_shard = flags[1] == 1
-    j_seam = flags[2]                # tile whose cy=+1 prev is the seam
-    jlo_flux = 1 + flags[3]          # skip the owned band tiles
+    j_seam = flags[2]                # tile whose cy=+1 prev is the seam;
+    jlo_flux = j_seam                # == first owned non-band tile
     flux_lane = flags[4]             # local lane of the flux column
     flux_owned = flags[5] == 1
 
@@ -1516,41 +1518,32 @@ def _ghost_temporal_kernel(
     def colsum(plane):
         return jnp.sum(plane * colmask, axis=1, keepdims=True)  # (r, 1)
 
+    def _dma(t, op):
+        @pl.when(t < n_ghost)
+        def _():
+            getattr(pltpu.make_async_copy(
+                bot_hbm.at[:, pl.ds(pl.multiple_of(t * ty, align), ty), :],
+                fsl.at[t % 2], sem.at[t % 2]), op)()
+
+        @pl.when(jnp.logical_and(t >= n_ghost, t < n_tiles - n_ghost))
+        def _():
+            getattr(pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(pl.multiple_of((t - n_ghost) * ty, align),
+                                  ty), :],
+                fsl.at[t % 2], sem.at[t % 2]), op)()
+
+        @pl.when(t >= n_tiles - n_ghost)
+        def _():
+            getattr(pltpu.make_async_copy(
+                top_hbm.at[:, pl.ds(pl.multiple_of(
+                    (t - (n_tiles - n_ghost)) * ty, align), ty), :],
+                fsl.at[t % 2], sem.at[t % 2]), op)()
+
     def start_dma(t):
-        @pl.when(t == 0)
-        def _():
-            pltpu.make_async_copy(bot_hbm, fsl.at[t % 2], sem.at[t % 2]
-                                  ).start()
-
-        @pl.when(jnp.logical_and(t > 0, t < n_tiles - 1))
-        def _():
-            pltpu.make_async_copy(
-                f_hbm.at[:, pl.ds(pl.multiple_of((t - 1) * ty, align), ty),
-                         :],
-                fsl.at[t % 2], sem.at[t % 2]).start()
-
-        @pl.when(t == n_tiles - 1)
-        def _():
-            pltpu.make_async_copy(top_hbm, fsl.at[t % 2], sem.at[t % 2]
-                                  ).start()
+        _dma(t, "start")
 
     def wait_dma(t):
-        @pl.when(t == 0)
-        def _():
-            pltpu.make_async_copy(bot_hbm, fsl.at[t % 2], sem.at[t % 2]
-                                  ).wait()
-
-        @pl.when(jnp.logical_and(t > 0, t < n_tiles - 1))
-        def _():
-            pltpu.make_async_copy(
-                f_hbm.at[:, pl.ds(pl.multiple_of((t - 1) * ty, align), ty),
-                         :],
-                fsl.at[t % 2], sem.at[t % 2]).wait()
-
-        @pl.when(t == n_tiles - 1)
-        def _():
-            pltpu.make_async_copy(top_hbm, fsl.at[t % 2], sem.at[t % 2]
-                                  ).wait()
+        _dma(t, "wait")
 
     @pl.when(i == 0)
     def _():
@@ -1609,7 +1602,7 @@ def _ghost_temporal_kernel(
         # that can be NaN, and NaN * 0 == NaN
         keep = jnp.logical_and(
             flux_owned,
-            jnp.logical_and(j >= jlo_flux, j < n_tiles - 1))
+            jnp.logical_and(j >= jlo_flux, j < n_tiles - n_ghost))
         return jnp.where(keep, total.astype(jnp.float32), 0.0)
 
     def add_flux(s, j, rho, mom_x):
@@ -1666,7 +1659,8 @@ def make_ghost_temporal_substep(cfg, yl: int, n_steps: int,
                                 forcing: str = "trt_split",
                                 storage: str = "raw",
                                 interpret: bool | None = None,
-                                width: int | None = None):
+                                width: int | None = None,
+                                tile_y: int | None = None):
     """Build the communication-avoiding K-step bulk update for one shard
     (parallel/sharded.ShardedTemporalSim).
 
@@ -1703,41 +1697,49 @@ def make_ghost_temporal_substep(cfg, yl: int, n_steps: int,
     xdim = int(width) if width is not None else cfg.xdim
     band = cfg.force_band
     K = int(n_steps)
-    ty = 16
-    pad = ty
+    pad = 16  # fixed ghost budget (and the ppermuted row-block height)
     if not 1 <= K <= pad:
         raise ValueError(f"K={K} must be in [1, {pad}] (ghost pad budget)")
-    if yl % ty or band % ty:
-        raise ValueError(f"local rows {yl} and band {band} must be "
-                         f"multiples of the tile {ty}")
     dtype = jnp.dtype(dtype)
     cdt = jnp.dtype(jnp.float32) if dtype.itemsize < 4 else dtype
     align = 16 if dtype.itemsize == 2 else 8
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
+    def _footprint(t):
+        return (
+            (3 * K) * 9 * t * xdim * cdt.itemsize      # f1 rings
+            + (2 + 2) * 9 * t * xdim * dtype.itemsize  # in slots + out bufs
+            + K * 9 * 8 * xdim * cdt.itemsize          # bhalos
+            + 8 * t * xdim * cdt.itemsize              # working planes
+        )
+
+    # Tile choice: prefer pad-sized (16-row) tiles; fall back to 8-row
+    # tiles when the 3K f1 rings would blow VMEM at wide grids (this is
+    # what lets K=8 run at XDIM=8192 — BASELINE config-5).
+    ty = None
+    for cand in ((int(tile_y),) if tile_y else (16, 8)):
+        if yl % cand or band % cand or pad % cand or cand % align:
+            continue
+        if interpret or _footprint(cand) <= (100 << 20):
+            ty = cand
+            break
+    if ty is None:
+        raise ValueError(
+            f"ghost temporal kernel VMEM footprint "
+            f"{_footprint(8) >> 20} MB exceeds the ~100 MB budget "
+            f"(K={K}, XDIM={xdim}) — or yl={yl}/band={band} are not "
+            f"8-row-tileable; lower K or use the per-step sharded path")
     rows_ext = yl + 2 * pad
     n_tiles = rows_ext // ty
 
     kernel = functools.partial(
         _ghost_temporal_kernel,
-        yl=yl, xdim=xdim, ty=ty, n_steps=K, band=band,
+        yl=yl, xdim=xdim, ty=ty, pad=pad, n_steps=K, band=band,
         tau=float(cfg.tau), tau2=float(cfg.tau2), forcing=forcing,
         walls=walls, storage=storage, cdt=cdt, align=align,
     )
-    footprint = (
-        (3 * K) * 9 * ty * xdim * cdt.itemsize        # f1 rings
-        + (2 + 2) * 9 * ty * xdim * dtype.itemsize    # in slots + out bufs
-        + K * 9 * 8 * xdim * cdt.itemsize             # bhalos
-        + 8 * ty * xdim * cdt.itemsize                # working planes
-    )
-    if not interpret and footprint > (100 << 20):
-        # fixed ty == pad leaves no smaller tile to fall back to — reject
-        # with a clear error instead of an opaque Mosaic VMEM abort
-        raise ValueError(
-            f"ghost temporal kernel VMEM footprint {footprint >> 20} MB "
-            f"exceeds the ~100 MB budget (K={K}, XDIM={xdim}); lower K or "
-            f"use the per-step sharded path")
-    vmem_limit = min(footprint + (8 << 20), 100 << 20)
+    vmem_limit = min(_footprint(ty) + (8 << 20), 100 << 20)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles + K,),
@@ -1785,6 +1787,7 @@ def make_ghost_temporal_substep(cfg, yl: int, n_steps: int,
         return f_new, fluxout[:, 0, 0]
 
     substep.pad = pad
+    substep.ty = ty
     return substep
 
 

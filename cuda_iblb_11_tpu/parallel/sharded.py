@@ -786,7 +786,7 @@ class ShardedTemporalSim(ShardedPallasSim):
         # band/bulk seam may fall inside any shard's block
         lb = jnp.clip(band - y0, 0, yl)          # owned band rows
         inject = jnp.logical_and(y0 <= band, band < y0 + yl)
-        ty_g = pad  # ghost kernel tile rows == pad
+        ty_g = self._ghost_substep.ty
         flags = jnp.stack([
             inject.astype(jnp.int32),
             (iy == n_y - 1).astype(jnp.int32),
@@ -959,7 +959,7 @@ class ShardedTemporalSim(ShardedPallasSim):
         # --- bulk: one ghost-kernel launch for K sub-steps ----------------
         lb = jnp.clip(band - y0, 0, yl)
         inject = jnp.logical_and(y0 <= band, band < y0 + yl)
-        ty_g = pad
+        ty_g = self._ghost_substep.ty
         flags = jnp.stack([
             inject.astype(jnp.int32),
             (iy == n_y - 1).astype(jnp.int32),

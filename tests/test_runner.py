@@ -158,9 +158,9 @@ def test_make_sim_warns_on_temporal_fallback(capsys):
     assert isinstance(sim, ShardedTemporalSim)
     assert capsys.readouterr().err == ""
 
-    # yl % 16 != 0 -> genuinely ineligible -> per-step pallas + warning
-    cfg2 = SimConfig(c_num=3, c_space=128, ydim=208)
-    sim = _make_sim(cfg2, "pallas", "trt_split", 4, "2,1")
+    # K above the 16-row ghost-pad budget -> genuinely ineligible ->
+    # per-step pallas + warning
+    sim = _make_sim(cfg, "pallas", "trt_split", 32, "2,1")
     assert type(sim) is ShardedPallasSim
     assert "falling back to the per-step sharded kernel" in (
         capsys.readouterr().err)

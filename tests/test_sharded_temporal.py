@@ -142,14 +142,22 @@ def test_sharded_temporal_bf16_runs_finite():
     assert abs(float(st.q) - float(st_ref.q)) < 1e-3
 
 
-def test_ghost_temporal_rejects_vmem_blowup():
-    # fixed tile size means no fallback: over-budget K x XDIM must raise
-    # a clear error, not an opaque Mosaic abort
+def test_ghost_temporal_vmem_fallback_and_rejection():
     from cuda_iblb_11_tpu.ops.pallas_step import make_ghost_temporal_substep
 
+    # K=16 at XDIM=4096: 16-row tiles blow VMEM, the 8-row fallback fits
     cfg = SimConfig(c_num=32, c_space=128, ydim=4096, dtype="float32")
+    sub = make_ghost_temporal_substep(cfg, 1024, 16, interpret=False)
+    assert sub.ty == 8 and sub.pad == 16
+
+    # K=16 at XDIM=8192 exceeds the budget even at 8-row tiles: a clear
+    # error, not an opaque Mosaic abort (no smaller tile exists)
+    cfg8 = SimConfig(c_num=64, c_space=128, ydim=8192, dtype="float32")
     with pytest.raises(ValueError, match="VMEM footprint"):
-        make_ghost_temporal_substep(cfg, 1024, 16, interpret=False)
+        make_ghost_temporal_substep(cfg8, 1024, 16, interpret=False)
+    # ... while K=8 fits there with the 8-row fallback (config-5 scale)
+    sub8 = make_ghost_temporal_substep(cfg8, 1024, 8, interpret=False)
+    assert sub8.ty == 8
 
 
 @needs_devices
