@@ -127,10 +127,6 @@ class MucociliarySim:
             raise ValueError("temporal blocking requires the pallas backend")
         if ib_x_edge not in ("periodic", "reference"):
             raise ValueError(f"unknown ib_x_edge {ib_x_edge!r}")
-        if ib_x_edge == "reference" and self.temporal > 1:
-            raise ValueError(
-                "the strict-parity IB x-edge mode is not supported with "
-                "temporal blocking")
         self.ib_x_edge = ib_x_edge
         # With the band-matmul IB path the fused kernel also emits the band
         # moments and flux-column partials from its in-register streamed
@@ -155,17 +151,21 @@ class MucociliarySim:
                 # when its structural requirements don't hold (c_space not
                 # lane-aligned, >128 nodes, window wider than the domain).
                 self._band_super = None
-                try:
-                    pad_s = -(-self.temporal // 8) * 8
-                    if cfg.ydim - band < pad_s:
-                        raise ValueError("ydim too small for ghost pad")
-                    self._band_super = make_band_super_substep(
-                        cfg, pad_s, self.temporal, walls, self.dtype,
-                        forcing=forcing, storage=self.storage,
-                        pattern=pattern)
-                    self._band_pad_s = pad_s
-                except ValueError:
-                    self._band_super = None
+                # (the super-kernel's windowed IB is periodic-only; the
+                # strict-parity quirk mode uses the per-sub-step leg with
+                # the stencil forms)
+                if ib_x_edge == "periodic":
+                    try:
+                        pad_s = -(-self.temporal // 8) * 8
+                        if cfg.ydim - band < pad_s:
+                            raise ValueError("ydim too small for ghost pad")
+                        self._band_super = make_band_super_substep(
+                            cfg, pad_s, self.temporal, walls, self.dtype,
+                            forcing=forcing, storage=self.storage,
+                            pattern=pattern)
+                        self._band_pad_s = pad_s
+                    except ValueError:
+                        self._band_super = None
                 # The band leg runs on an EXTENDED block: the band plus a
                 # `pad`-row throwaway copy of the bulk bottom (the classic
                 # temporal-blocking ghost trapezoid: the kernel's top halo
@@ -324,7 +324,7 @@ class MucociliarySim:
         K = self.temporal
         band = cfg.force_band
         aux = self.aux_dtype
-        u_s, eps, anchor, frac = xs
+        u_s, eps, anchor, frac, s_all = xs
         flags = jnp.array([0, 1, 0], jnp.int32)  # y0=0, bottom wall, no top
         zero8 = jnp.zeros((9, 8, cfg.xdim), aux)
         # Extended band block: band rows + a throwaway copy of the bulk
@@ -337,11 +337,22 @@ class MucociliarySim:
         for s in range(K):
             band_ext, bhalo, q_band, fluxcol = self._band_substep(
                 flags, band_ext, force, zero8, zero8)
-            factors = ib_band.delta_factors((anchor[s], frac[s]), cfg.xdim,
-                                            band, aux)
-            f_s = ib_band.interpolate_from_moments(q_band, u_s[s], factors)
-            force = ib_band.spread(f_s, None, eps[s], cfg.xdim, band,
-                                   factors=factors).astype(force.dtype)
+            if self.ib_x_edge == "reference":
+                # quirk-exact stencil IB (ops/ib.py): all stencil cells
+                # lie far below the block's trapezoid rows, so gathering
+                # from the extended band block equals the full-grid gather
+                f_s = ib.interpolate_from_f(
+                    band_ext, s_all[s], u_s[s], storage=self.storage,
+                    x_edge="reference")
+                force = ib.spread(f_s, s_all[s], eps[s], cfg.xdim, band,
+                                  x_edge="reference").astype(force.dtype)
+            else:
+                factors = ib_band.delta_factors((anchor[s], frac[s]),
+                                                cfg.xdim, band, aux)
+                f_s = ib_band.interpolate_from_moments(q_band, u_s[s],
+                                                       factors)
+                force = ib_band.spread(f_s, None, eps[s], cfg.xdim, band,
+                                       factors=factors).astype(force.dtype)
             # band rows only: the pad/ghost rows' flux comes from the bulk
             flux_band = flux_band + ib.flux_from_cols(
                 fluxcol[:, :band], force, cfg.flux_x)
@@ -363,7 +374,7 @@ class MucociliarySim:
         vel = jnp.where((its > 0)[:, None, None, None],
                         jax.vmap(self.cilia.velocities)(its),
                         jnp.zeros_like(pos))
-        _, u_s, eps = jax.vmap(self.cilia.place_and_mask)(pos, vel)
+        s_all, u_s, eps = jax.vmap(self.cilia.place_and_mask)(pos, vel)
         anchor, frac = jax.vmap(self.cilia.anchored_nodes)(pos)
 
         def rs(x):
@@ -379,7 +390,7 @@ class MucociliarySim:
             def body(carry, xs):
                 return self._temporal_super_step_fused(*carry, xs), None
         else:
-            xs_all = (rs(u_s), rs(eps), rs(anchor), rs(frac))
+            xs_all = (rs(u_s), rs(eps), rs(anchor), rs(frac), rs(s_all))
 
             def body(carry, xs):
                 return self._temporal_super_step(*carry, xs), None

@@ -1229,11 +1229,35 @@ def _band_super_kernel(
         # (13.55k -> 12.3k MLUPS) — the accuracy claim is worth it.  The
         # bf16 fast mode skips it: its ~1e-2 storage noise dwarfs the MXU
         # rounding, so the 6 passes would buy nothing.
-        prec = (jax.lax.Precision.HIGHEST if mxu_full_precision
-                else jax.lax.Precision.DEFAULT)
-        t2 = jax.lax.dot_general(
-            qcat[:, lo:lo + W], dxw, (((1,), (1,)), ((), ())),
-            preferred_element_type=cdt, precision=prec)  # [3*band, npt]
+        def dot_hi(a, b, dims):
+            """Full-precision-enough window contraction.  cdt == f32 on
+            TPU: a manual two-term bf16 split (3 single-pass MXU dots —
+            the classic Precision.HIGH decomposition, which Mosaic does
+            not expose in-kernel).  Measured round 3 on v5e at
+            2048^2/2048 steps: 3.5e-6 velocity rel-L2 from the
+            single-step path — same class as the 6-pass HIGHEST (3.5e-6)
+            vs 6.3e-4 for the 1-pass DEFAULT — at 13.46k MLUPS vs 12.6k
+            (HIGHEST) / 13.55k (DEFAULT): ~90% of HIGHEST's cost
+            reclaimed.  f64 (interpret/oracle runs) and the bf16 fast
+            mode (its ~1e-2 storage noise dwarfs MXU rounding) use a
+            plain dot."""
+            dims = (dims, ((), ()))
+            if not mxu_full_precision or cdt != jnp.float32:
+                return jax.lax.dot_general(a, b, dims,
+                                           preferred_element_type=cdt)
+            ah = a.astype(jnp.bfloat16)
+            al = (a - ah.astype(cdt)).astype(jnp.bfloat16)
+            bh = b.astype(jnp.bfloat16)
+            bl = (b - bh.astype(cdt)).astype(jnp.bfloat16)
+
+            def d(x, y):
+                return jax.lax.dot_general(x, y, dims,
+                                           preferred_element_type=cdt)
+
+            return d(ah, bh) + (d(al, bh) + d(ah, bl))
+
+        t2 = dot_hi(qcat[:, lo:lo + W], dxw,
+                    (((1,), (1,))))                      # [3*band, npt]
         iq = [jnp.sum(dy * t2[q * band:(q + 1) * band], axis=0,
                       keepdims=True) for q in range(3)]  # 3 x [1, npt]
         us_x = us_ref[s, 0, m].reshape(1, npt).astype(cdt)
@@ -1241,10 +1265,8 @@ def _band_super_kernel(
         em = eps_ref[s, m].reshape(1, npt).astype(cdt)
         a_x = (2.0 * (us_x * iq[0] - iq[1])) * em       # [1, npt]
         a_y = (2.0 * (us_y * iq[0] - iq[2])) * em
-        sxy = jax.lax.dot_general(
-            jnp.concatenate([dy * a_x, dy * a_y], axis=0), dxw,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=cdt, precision=prec)  # [2*band, W]
+        sxy = dot_hi(jnp.concatenate([dy * a_x, dy * a_y], axis=0), dxw,
+                     (((1,), (0,))))                     # [2*band, W]
         fpad[0, :, lo:lo + W] = fpad[0, :, lo:lo + W] + sxy[:band]
         fpad[1, :, lo:lo + W] = fpad[1, :, lo:lo + W] + sxy[band:]
 

@@ -84,3 +84,39 @@ def test_temporal_reference_channel_grid(oracle_16):
     b = tem.run_chunk(tem.init_state(), 8)
     np.testing.assert_allclose(
         np.asarray(b.f), np.asarray(a.f), rtol=1e-13, atol=1e-15)
+
+
+def test_temporal_quirk_x_edge_matches_single_step():
+    # the strict-parity IB x-edge mode (ImmersedBoundary.cu:119-124
+    # aliasing + :178-231 dropped periodic images) now composes with
+    # temporal blocking via the per-sub-step band leg + stencil IB
+    # (the windowed band super-kernel is periodic-only by construction)
+    cfg = CFG.replace(c_num=4)
+    one = MucociliarySim(cfg, backend="jnp", ib_x_edge="reference")
+    a = one.run_chunk(one.init_state(), 11)  # includes remainder steps
+    tem = MucociliarySim(cfg, backend="pallas", temporal=4,
+                         ib_x_edge="reference")
+    assert tem._band_super is None
+    b = tem.run_chunk(tem.init_state(), 11)
+    np.testing.assert_allclose(
+        np.asarray(b.f), np.asarray(a.f), rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(float(b.q), float(a.q), rtol=1e-12)
+    # and the quirk genuinely bites (cilia wrap the x edge here)
+    p = MucociliarySim(cfg, backend="pallas", temporal=4)
+    sp = p.run_chunk(p.init_state(), 11)
+    assert float(np.abs(np.asarray(sp.f) - np.asarray(b.f)).max()) > 1e-12
+
+
+def test_temporal_quirk_super_config_falls_back():
+    # a super-eligible geometry must still take the per-sub-step leg in
+    # quirk mode (the super-kernel's windowed IB assumes periodic wrap)
+    cfg = SimConfig(c_num=3, c_space=128, ydim=256, dtype="float64",
+                    storage="raw")
+    tem = MucociliarySim(cfg, backend="pallas", temporal=4,
+                         ib_x_edge="reference")
+    assert tem._band_super is None
+    ref_sim = MucociliarySim(cfg, backend="jnp", ib_x_edge="reference")
+    a = ref_sim.run_chunk(ref_sim.init_state(), 8)
+    b = tem.run_chunk(tem.init_state(), 8)
+    np.testing.assert_allclose(
+        np.asarray(b.f), np.asarray(a.f), rtol=1e-13, atol=1e-15)
