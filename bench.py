@@ -129,8 +129,8 @@ def main():
             except Exception as e:  # noqa: BLE001
                 log(f"bf16 secondary failed: {e!r}")
             # BASELINE config-5 grid (8192^2) on one chip: single-step +
-            # temporal K=8 (band super is VMEM-ineligible at X=8192 ->
-            # the tiled per-sub-step band leg engages)
+            # temporal K=8 (the whole-domain band super is VMEM-ineligible
+            # at X=8192 -> the x-tiled band super-kernel engages, r3)
             try:
                 cfg8 = SimConfig(c_num=64, c_space=128, ydim=8192,
                                  dtype="float32")

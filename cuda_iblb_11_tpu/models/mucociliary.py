@@ -155,17 +155,27 @@ class MucociliarySim:
                 # strict-parity quirk mode uses the per-sub-step leg with
                 # the stencil forms)
                 if ib_x_edge == "periodic":
-                    try:
-                        pad_s = -(-self.temporal // 8) * 8
-                        if cfg.ydim - band < pad_s:
-                            raise ValueError("ydim too small for ghost pad")
-                        self._band_super = make_band_super_substep(
-                            cfg, pad_s, self.temporal, walls, self.dtype,
-                            forcing=forcing, storage=self.storage,
-                            pattern=pattern)
-                        self._band_pad_s = pad_s
-                    except ValueError:
-                        self._band_super = None
+                    from cuda_iblb_11_tpu.ops.pallas_step import (
+                        make_band_super_substep_tiled,
+                    )
+
+                    pad_s = -(-self.temporal // 8) * 8
+                    for factory in (make_band_super_substep,
+                                    make_band_super_substep_tiled):
+                        # whole-domain kernel first; the x-tiled variant
+                        # when VMEM rejects it (XDIM=8192-class grids)
+                        try:
+                            if cfg.ydim - band < pad_s:
+                                raise ValueError(
+                                    "ydim too small for ghost pad")
+                            self._band_super = factory(
+                                cfg, pad_s, self.temporal, walls,
+                                self.dtype, forcing=forcing,
+                                storage=self.storage, pattern=pattern)
+                            self._band_pad_s = pad_s
+                            break
+                        except ValueError:
+                            self._band_super = None
                 # The band leg runs on an EXTENDED block: the band plus a
                 # `pad`-row throwaway copy of the bulk bottom (the classic
                 # temporal-blocking ghost trapezoid: the kernel's top halo

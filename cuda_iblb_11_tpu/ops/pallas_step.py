@@ -1131,10 +1131,27 @@ def _band_super_kernel(
     fband_out, bh_out, force_out, flux_out,
     fsc, f1sc, fosc, fpad, sem,
     *, rows, band, xdim, n_steps, c_num, cw, halo, npt, tau, tau2,
-    forcing, storage, flux_lane, cdt, walls, mxu_full_precision=True,
+    forcing, storage, flux_lane, cdt, walls, win_lo, fold,
+    mxu_full_precision=True,
 ):
     """Resident-band temporal super-kernel: ALL K band sub-steps plus the
-    full IB coupling in ONE launch (see make_band_super_substep)."""
+    full IB coupling in ONE launch (see make_band_super_substep).
+
+    Two layouts share this body:
+
+    fold=True (whole-domain mode): ``xdim`` is the full domain width; the
+      moment planes are padded by ``halo`` wrapped columns on each side, the
+      cilium windows live at ``win_lo[m] = m*cw`` in PADDED coords, and the
+      overlap-add force strip is circularly folded back to ``xdim`` columns
+      at the end (exact periodic min-image).
+
+    fold=False (x-tiled mode, make_band_super_substep_tiled): ``xdim`` is
+      one extended tile's width (interior + ghost columns on each side);
+      windows live at the static BLOCK-coordinate offsets ``win_lo`` and the
+      force strip IS the block (no fold — the caller discards the ghost
+      columns, which neighbouring tiles compute redundantly).  flux_lane is
+      None on tiles that don't own the flux column.
+    """
     from cuda_iblb_11_tpu.ops.ib import delta_1d
 
     s = pl.program_id(0)
@@ -1207,7 +1224,11 @@ def _band_super_kernel(
     # the 3 moment planes stack into ONE lhs so each cilium needs a single
     # interpolation dot (and one spread dot) — identical arithmetic per
     # output element, ~half the serialized 6-pass MXU chains at HIGHEST
-    qcat = jnp.concatenate([padx(rho), padx(mom_x), padx(mom_y)], axis=0)
+    if fold:
+        qcat = jnp.concatenate([padx(rho), padx(mom_x), padx(mom_y)], axis=0)
+    else:
+        # tiled mode: the block already carries the ghost columns
+        qcat = jnp.concatenate([rho, mom_x, mom_y], axis=0)
     fpad[...] = jnp.zeros_like(fpad)
 
     # --- IB coupling, one 128-wide point block per cilium ----------------
@@ -1220,7 +1241,7 @@ def _band_super_kernel(
         fx_m = fx_ref[s, m].reshape(npt, 1).astype(cdt)
         ww = jax.lax.broadcasted_iota(jnp.int32, (npt, W), 1)
         dxw = delta_1d(jnp.abs((ww - ax_m).astype(cdt) - fx_m))  # [npt,W]
-        lo = m * cw  # window start within qpad (= m*cw - halo + halo)
+        lo = win_lo[m]  # static window start within the qcat strip
         # full-precision MXU passes: the TPU's default f32 dot runs
         # reduced-precision bf16 passes, which the stiff IB feedback
         # amplifies to ~6e-4 velocity error at 2048^2 (measured r3 vs
@@ -1271,31 +1292,155 @@ def _band_super_kernel(
         fpad[1, :, lo:lo + W] = fpad[1, :, lo:lo + W] + sxy[band:]
 
     # circular fold of the overlap-add halos -> new force field
-    for c in range(2):
-        mid = fpad[c, :, halo:halo + xdim]
-        left = fpad[c, :, :halo]    # wraps onto the right end
-        right = fpad[c, :, halo + xdim:]  # wraps onto the left end
-        folded = jnp.concatenate(
-            [mid[:, :halo] + right, mid[:, halo:xdim - halo],
-             mid[:, xdim - halo:] + left], axis=1)
-        fosc[c] = folded
+    if fold:
+        for c in range(2):
+            mid = fpad[c, :, halo:halo + xdim]
+            left = fpad[c, :, :halo]    # wraps onto the right end
+            right = fpad[c, :, halo + xdim:]  # wraps onto the left end
+            folded = jnp.concatenate(
+                [mid[:, :halo] + right, mid[:, halo:xdim - halo],
+                 mid[:, xdim - halo:] + left], axis=1)
+            fosc[c] = folded
+    else:
+        for c in range(2):
+            fosc[c] = fpad[c]
 
     # --- flux-column partial (band rows; force correction included) ------
-    bs = (flux_lane // 128) * 128
-    lmask = (jax.lax.broadcasted_iota(jnp.int32, (band, 128), 1)
-             == (flux_lane - bs)).astype(cdt)
-    ux_b = ((mom_x[:, bs:bs + 128] + 0.5 * fosc[0, :, bs:bs + 128])
-            / rho[:, bs:bs + 128])
-    onehot = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-               + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1))
-              == 0).astype(cdt)
-    flux_out[0] = jnp.sum(ux_b * lmask) * onehot
+    if flux_lane is None:
+        flux_out[0] = jnp.zeros((8, 128), flux_out.dtype)
+    else:
+        bs = (flux_lane // 128) * 128
+        lmask = (jax.lax.broadcasted_iota(jnp.int32, (band, 128), 1)
+                 == (flux_lane - bs)).astype(cdt)
+        ux_b = ((mom_x[:, bs:bs + 128] + 0.5 * fosc[0, :, bs:bs + 128])
+                / rho[:, bs:bs + 128])
+        onehot = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                   + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1))
+                  == 0).astype(cdt)
+        flux_out[0] = jnp.sum(ux_b * lmask) * onehot
 
     @pl.when(s == K - 1)
     def _finish():
         for d in range(9):
             fband_out[d] = fsc[d, :band]
         force_out[...] = fosc[...]
+
+
+def _band_super_geometry(cfg, pad, K, walls, dtype, cdt, interpret, pattern):
+    """Shared eligibility checks + window halo for the band super-kernel
+    factories.  Returns (c_space, halo)."""
+    # the kernel hard-codes the reference channel's edge handling: the
+    # periodic lane roll and the bottom-wall bounce-back fixup (the top
+    # edge is the ghost trapezoid, so walls.top is the bulk kernel's job)
+    if walls.left != "periodic":
+        raise NotImplementedError("band super-kernel requires periodic x")
+    if walls.bottom != "noslip":
+        raise NotImplementedError(
+            "band super-kernel supports bottom=noslip only")
+    cw = cfg.c_space
+    if not interpret and cw % 128:
+        raise ValueError("band super-kernel requires c_space % 128 == 0")
+    if cfg.length > 128:
+        raise ValueError("band super-kernel requires <= 128 nodes/cilium")
+    if pad < K:
+        raise ValueError("ghost pad must cover K sub-steps")
+    # halo such that every window [m*cw - halo, (m+1)*cw + halo) provably
+    # contains its cilium's delta support (beat envelope + |frac| + 1.5,
+    # rounded up with 1 cell of slack).  The envelope is evaluated for the
+    # ACTUAL beat pattern of the simulation — a pattern with a wider
+    # x-excursion gets a wider (or rejected) window rather than silently
+    # truncated IB support.
+    from cuda_iblb_11_tpu.models.cilia import CiliaModel
+
+    bound = CiliaModel(cfg, dtype=cdt,
+                       pattern=pattern).beat_x_bound() + 3.0
+    halo = max(0, -(-int(bound - cw / 2 + 1) // 128) * 128) \
+        if bound > cw / 2 else 0
+    if not interpret and halo % 128:
+        raise ValueError("window halo must be 128-aligned")
+    if cw + 2 * halo > cfg.xdim:
+        raise ValueError("cilium window exceeds the domain width")
+    return cw, halo
+
+
+def _band_super_resident(width, rows, band, fpad_extra, dtype, cdt):
+    """VMEM footprint (bytes) of one band super-kernel instance of the
+    given block width.  fpad_extra = 2*halo in fold mode, 0 in tiled mode
+    (the tiled block carries its ghost columns in `width`)."""
+    return (
+        9 * rows * (dtype.itemsize + cdt.itemsize)   # fsc + f1sc
+        + 9 * band * dtype.itemsize                  # fband_out
+        + 9 * 8 * cdt.itemsize                       # one bhalos row block
+        + 2 * band * 2 * cdt.itemsize                # fosc + force_out
+        + 2 * band * cdt.itemsize                    # fpad (per-col share)
+    ) * width + 2 * band * fpad_extra * cdt.itemsize
+
+
+def _build_band_super_call(cfg, rows, band, K, width, win_lo, fold,
+                           flux_lane, c_sub, halo, dtype, cdt, walls,
+                           forcing, storage, interpret):
+    """pallas_call for one band super-kernel instance (see
+    _band_super_kernel for the fold=True/False layouts)."""
+    kernel = functools.partial(
+        _band_super_kernel,
+        rows=rows, band=band, xdim=width, n_steps=K, c_num=c_sub,
+        cw=cfg.c_space, halo=halo, npt=128, tau=float(cfg.tau),
+        tau2=float(cfg.tau2), forcing=forcing, storage=storage,
+        flux_lane=flux_lane, cdt=cdt, walls=walls, win_lo=tuple(win_lo),
+        fold=fold, mxu_full_precision=dtype.itemsize >= 4,
+    )
+    fpad_w = width + 2 * halo if fold else width
+    return pl.pallas_call(
+        kernel,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # f_ext
+            pl.BlockSpec(memory_space=pl.ANY),       # force
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # u_s [K,2,c,128]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # eps [K,c,128]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # axl int32
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # fx
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ay int32
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # fy
+        ],
+        out_specs=[
+            pl.BlockSpec((9, band, width), lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, 8, width), lambda s: (s, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, band, width), lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, band, width), dtype),
+            jax.ShapeDtypeStruct((K, 9, 8, width), cdt),
+            jax.ShapeDtypeStruct((2, band, width), cdt),
+            jax.ShapeDtypeStruct((K, 8, 128), cdt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9, rows, width), dtype),     # f state
+            pltpu.VMEM((9, rows, width), cdt),       # f1
+            pltpu.VMEM((2, band, width), cdt),       # force
+            pltpu.VMEM((2, band, fpad_w), cdt),      # overlap-add strip
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                (9 * rows * (dtype.itemsize + cdt.itemsize)
+                 + 9 * band * dtype.itemsize
+                 + 8 * band * cdt.itemsize
+                 + 2 * band * 2 * cdt.itemsize
+                 + 14 * band * cdt.itemsize) * width + (24 << 20),
+                110 << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=int(rows * width * 200 * K),
+            bytes_accessed=int(20 * rows * width * dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
 
 
 def make_band_super_substep(cfg, pad: int, n_steps: int,
@@ -1342,113 +1487,23 @@ def make_band_super_substep(cfg, pad: int, n_steps: int,
     cdt = jnp.dtype(jnp.float32) if dtype.itemsize < 4 else dtype
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    # the kernel hard-codes the reference channel's edge handling: the
-    # periodic lane roll and the bottom-wall bounce-back fixup (the top
-    # edge is the ghost trapezoid, so walls.top is the bulk kernel's job)
-    if walls.left != "periodic":
-        raise NotImplementedError("band super-kernel requires periodic x")
-    if walls.bottom != "noslip":
-        raise NotImplementedError(
-            "band super-kernel supports bottom=noslip only")
-    cw = cfg.c_space
-    if not interpret and cw % 128:
-        raise ValueError("band super-kernel requires c_space % 128 == 0")
-    if cfg.length > 128:
-        raise ValueError("band super-kernel requires <= 128 nodes/cilium")
-    npt = 128
-    c_num = cfg.c_num
-    if pad < K:
-        raise ValueError("ghost pad must cover K sub-steps")
-    # halo such that every window [m*cw - halo, (m+1)*cw + halo) provably
-    # contains its cilium's delta support (beat envelope + |frac| + 1.5,
-    # rounded up with 1 cell of slack).  The envelope is evaluated for the
-    # ACTUAL beat pattern of the simulation — a pattern with a wider
-    # x-excursion gets a wider (or rejected) window rather than silently
-    # truncated IB support.
-    from cuda_iblb_11_tpu.models.cilia import CiliaModel
-
-    bound = CiliaModel(cfg, dtype=cdt,
-                       pattern=pattern).beat_x_bound() + 3.0
-    halo = max(0, -(-int(bound - cw / 2 + 1) // 128) * 128) \
-        if bound > cw / 2 else 0
-    if not interpret and halo % 128:
-        raise ValueError("window halo must be 128-aligned")
-    if cw + 2 * halo > xdim:
-        raise ValueError("cilium window exceeds the domain width")
+    cw, halo = _band_super_geometry(cfg, pad, K, walls, dtype, cdt,
+                                    interpret, pattern)
     # The whole extended band lives in VMEM (scratch f + f1 + force +
     # overlap pad + the band/seam output buffers); at large XDIM that
     # exceeds the chip's ~128 MB and Mosaic would fail at compile time —
-    # reject here so callers fall back to the tiled per-sub-step leg.
-    resident = (
-        9 * rows * (dtype.itemsize + cdt.itemsize)   # fsc + f1sc
-        + 9 * band * dtype.itemsize                  # fband_out
-        + 9 * 8 * cdt.itemsize                       # one bhalos row block
-        + 2 * band * 2 * cdt.itemsize                # fosc + force_out
-        + 2 * band * cdt.itemsize                    # fpad (per-X share)
-    ) * xdim + 2 * band * 2 * halo * cdt.itemsize
+    # reject here so callers fall back to the x-tiled super-kernel
+    # (make_band_super_substep_tiled) or the per-sub-step leg.
+    resident = _band_super_resident(xdim, rows, band, 2 * halo, dtype, cdt)
     if not interpret and resident > (100 << 20):
         raise ValueError(
             f"band super-kernel VMEM footprint {resident >> 20} MB exceeds "
             f"the ~100 MB budget at XDIM={xdim}; use the per-sub-step leg")
 
-    kernel = functools.partial(
-        _band_super_kernel,
-        rows=rows, band=band, xdim=xdim, n_steps=K, c_num=c_num, cw=cw,
-        halo=halo, npt=npt, tau=float(cfg.tau), tau2=float(cfg.tau2),
-        forcing=forcing, storage=storage, flux_lane=int(cfg.flux_x),
-        cdt=cdt, walls=walls, mxu_full_precision=dtype.itemsize >= 4,
-    )
-    call = pl.pallas_call(
-        kernel,
-        grid=(K,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),       # f_ext
-            pl.BlockSpec(memory_space=pl.ANY),       # force
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # u_s [K,2,c,128]
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # eps [K,c,128]
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # axl int32
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # fx
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # ay int32
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # fy
-        ],
-        out_specs=[
-            pl.BlockSpec((9, band, xdim), lambda s: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, 8, xdim), lambda s: (s, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, band, xdim), lambda s: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda s: (s, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((9, band, xdim), dtype),
-            jax.ShapeDtypeStruct((K, 9, 8, xdim), cdt),
-            jax.ShapeDtypeStruct((2, band, xdim), cdt),
-            jax.ShapeDtypeStruct((K, 8, 128), cdt),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((9, rows, xdim), dtype),          # f state
-            pltpu.VMEM((9, rows, xdim), cdt),            # f1
-            pltpu.VMEM((2, band, xdim), cdt),            # force
-            pltpu.VMEM((2, band, xdim + 2 * halo), cdt),  # overlap-add pad
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(
-                (9 * rows * (dtype.itemsize + cdt.itemsize)
-                 + 9 * band * dtype.itemsize
-                 + 8 * band * cdt.itemsize
-                 + 2 * band * 2 * cdt.itemsize
-                 + 14 * band * cdt.itemsize) * xdim + (24 << 20),
-                110 << 20)),
-        cost_estimate=pl.CostEstimate(
-            flops=int(rows * xdim * 200 * K),
-            bytes_accessed=int(20 * rows * xdim * dtype.itemsize),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )
+    call = _build_band_super_call(
+        cfg, rows, band, K, xdim, tuple(m * cw for m in range(cfg.c_num)),
+        True, int(cfg.flux_x), cfg.c_num, halo, dtype, cdt, walls, forcing,
+        storage, interpret)
 
     def substep(f_ext, force, u_s, eps, axl, fx, ay, fy):
         f_band, bhalos, force_new, flux = call(
@@ -1458,6 +1513,156 @@ def make_band_super_substep(cfg, pad: int, n_steps: int,
         return f_band, bhalos, force_new, flux[:, 0, 0]
 
     substep.halo = halo
+    return substep
+
+
+def make_band_super_substep_tiled(cfg, pad: int, n_steps: int,
+                                  walls: WallSpec = REFERENCE_WALLS,
+                                  dtype=jnp.float32,
+                                  forcing: str = "trt_split",
+                                  storage: str = "raw",
+                                  interpret: bool | None = None,
+                                  pattern: str = "no_mucus",
+                                  tile_x: int | None = None):
+    """X-tiled resident-band temporal super-step: drop-in for
+    make_band_super_substep on grids too wide for one VMEM-resident block
+    (BASELINE config-5's XDIM=8192, where the whole-domain kernel needs
+    ~150 MB).
+
+    The domain splits into XDIM/tile_x tiles; each tile runs the SAME
+    super-kernel on an extended block of ``tile_x + 2*gx`` columns whose
+    ghost columns it computes redundantly (fold=False layout of
+    _band_super_kernel), and only the interior columns are kept — the
+    x-analogue of the ghost-row trapezoid the temporal kernels already use
+    in y, at ~2*gx/tile_x extra band-leg flops (the band is <2% of the
+    rows at the widths where this path engages).
+
+    Correctness (ghost-margin bound): with the tile's cilium subset chosen
+    as every cilium whose window lies fully inside the extended block,
+    errors enter only at the block edges and propagate inward at most
+      1 (streaming)  +  (1.5 + 1) (delta interp reach incl. |frac|)
+      +  (1.5 + 1) (delta spread reach)  =  6 < 8  columns per sub-step
+    — through the overlapping-window IB coupling as well, because both the
+    interpolation and the spreading of a NODE touch only columns within
+    1.5+|frac| of it, so a node is affected only once the edge error is
+    within that reach.  The excluded cilia (windows sticking out of the
+    block) leave a missing-force region of at most one window width
+    W = c_space + 2*halo at each edge.  Hence ghost columns
+        gx >= W + 8*K
+    keep every interior column (and the interior slice of the seam halo
+    bhalos consumed by the bulk kernel) EXACT after K sub-steps.  gx is
+    rounded up to a lane multiple; tiles are multiples of c_space so all
+    tiles share one static window layout (two compiled kernel variants:
+    with and without the flux column).
+
+    Requires tile_x + 2*gx <= XDIM (otherwise a cilium's periodic images
+    would both fall inside one block and double-spread; at such widths the
+    whole-domain kernel fits anyway — use it).
+
+    Same signature, shapes and ``halo`` attribute as
+    make_band_super_substep; cites: flux column ImmersedBoundary.cu:259-264,
+    spreading/interpolation ImmersedBoundary.cu:94-264.
+    """
+    xdim = cfg.xdim
+    band = cfg.force_band
+    K = int(n_steps)
+    rows = band + pad
+    dtype = jnp.dtype(dtype)
+    cdt = jnp.dtype(jnp.float32) if dtype.itemsize < 4 else dtype
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cw, halo = _band_super_geometry(cfg, pad, K, walls, dtype, cdt,
+                                    interpret, pattern)
+    c_num = cfg.c_num
+    ww = cw + 2 * halo
+    reach = ww + 8 * K
+    gx = reach if interpret else -(-reach // 128) * 128
+    budget = 100 << 20
+
+    def ok(tx):
+        txe = tx + 2 * gx
+        return (tx % cw == 0 and xdim % tx == 0 and xdim // tx >= 2
+                and txe <= xdim
+                and (interpret or tx % 128 == 0)
+                and _band_super_resident(txe, rows, band, 0, dtype, cdt)
+                <= budget)
+
+    if tile_x is not None:
+        if not ok(tile_x):
+            raise ValueError(f"tile_x={tile_x} is not a valid band tile "
+                             f"(gx={gx}, xdim={xdim})")
+        tx = tile_x
+    else:
+        tx = next((m * cw for m in range(xdim // (2 * cw), 0, -1)
+                   if ok(m * cw)), None)
+        if tx is None:
+            raise ValueError(
+                f"no x-tile fits the band super-kernel at XDIM={xdim} "
+                f"(gx={gx}); use the per-sub-step band leg")
+    n_tiles = xdim // tx
+    txe = tx + 2 * gx
+
+    # Per-tile cilium subsets: every periodic lift of a window that lies
+    # fully inside the extended block.  Tiles are c_space-periodic, so the
+    # local window offsets are identical across tiles — assert it, and
+    # compile exactly two kernel variants (flux owner / not).
+    ids, win_lo = [], []
+    for t in range(n_tiles):
+        lo_ext = t * tx - gx
+        tid, tlo = [], []
+        for mt in range(-c_num, 2 * c_num):
+            w0 = mt * cw - halo
+            if w0 >= lo_ext and w0 + ww <= lo_ext + txe:
+                tid.append(mt % c_num)
+                tlo.append(w0 - lo_ext)
+        ids.append(tuple(tid))
+        win_lo.append(tuple(tlo))
+    assert all(w == win_lo[0] for w in win_lo), \
+        "tile window layout must be uniform (tile_x % c_space == 0)"
+    c_sub = len(ids[0])
+
+    t_flux = int(cfg.flux_x) // tx
+    flux_local = int(cfg.flux_x) - t_flux * tx + gx
+    call_plain = _build_band_super_call(
+        cfg, rows, band, K, txe, win_lo[0], False, None, c_sub, halo,
+        dtype, cdt, walls, forcing, storage, interpret)
+    call_flux = _build_band_super_call(
+        cfg, rows, band, K, txe, win_lo[0], False, flux_local, c_sub, halo,
+        dtype, cdt, walls, forcing, storage, interpret)
+
+    import numpy as np
+
+    idx = [np.asarray(i, np.int32) for i in ids]
+
+    def substep(f_ext, force, u_s, eps, axl, fx, ay, fy):
+        fb, bh, fo = [], [], []
+        flux = None
+        for t in range(n_tiles):
+            shift = gx - t * tx
+
+            def ext(a):
+                return jnp.roll(a, shift, axis=-1)[..., :txe]
+
+            out = (call_flux if t == t_flux else call_plain)(
+                ext(f_ext).astype(dtype), ext(force).astype(cdt),
+                u_s[:, :, idx[t], :].astype(cdt),
+                eps[:, idx[t], :].astype(cdt),
+                axl[:, idx[t], :].astype(jnp.int32),
+                fx[:, idx[t], :].astype(cdt),
+                ay[:, idx[t], :].astype(jnp.int32),
+                fy[:, idx[t], :].astype(cdt))
+            fband_t, bh_t, force_t, flux_t = out
+            fb.append(fband_t[..., gx:gx + tx])
+            bh.append(bh_t[..., gx:gx + tx])
+            fo.append(force_t[..., gx:gx + tx])
+            if t == t_flux:
+                flux = flux_t[:, 0, 0]
+        return (jnp.concatenate(fb, axis=-1), jnp.concatenate(bh, axis=-1),
+                jnp.concatenate(fo, axis=-1), flux)
+
+    substep.halo = halo
+    substep.tile_x = tx
+    substep.gx = gx
     return substep
 
 

@@ -728,13 +728,23 @@ class ShardedTemporalSim(ShardedPallasSim):
         # VMEM-ineligible).
         self._band_super = None
         if self.n_x == 1:
-            try:
-                self._band_super = make_band_super_substep(
-                    cfg, pad_s, K, walls, self.dtype, forcing=forcing,
-                    storage=self.storage, interpret=interpret,
-                    pattern=pattern)
-            except ValueError:
-                pass
+            from cuda_iblb_11_tpu.ops.pallas_step import (
+                make_band_super_substep_tiled,
+            )
+
+            # whole-domain kernel first; the x-tiled variant when VMEM
+            # rejects it (8192-wide grids under (n_y, 1) slicing keep the
+            # full width per shard)
+            for factory in (make_band_super_substep,
+                            make_band_super_substep_tiled):
+                try:
+                    self._band_super = factory(
+                        cfg, pad_s, K, walls, self.dtype, forcing=forcing,
+                        storage=self.storage, interpret=interpret,
+                        pattern=pattern)
+                    break
+                except ValueError:
+                    pass
         if self._band_super is None:
             ty0, pad_b = pick_band_leg_tile(cfg, K, self.dtype, self.xl)
             if cfg.ydim < cfg.force_band + pad_b:

@@ -196,3 +196,27 @@ def test_sharded_temporal_2d_mesh(n_y, n_x):
         np.asarray(st.f), np.asarray(st_ref.f), rtol=1e-13, atol=1e-15)
     np.testing.assert_allclose(float(st.q), float(st_ref.q), rtol=1e-12,
                                atol=1e-15)
+
+
+@needs_devices
+def test_sharded_temporal_tiled_band_super_matches_oracle():
+    # the x-tiled band super-kernel (ops/pallas_step.
+    # make_band_super_substep_tiled — the path 8192-wide grids take under
+    # (n_y, 1) slicing, where each shard keeps the full domain width) must
+    # drop into the sharded temporal pipeline unchanged
+    from cuda_iblb_11_tpu.ops.pallas_step import make_band_super_substep_tiled
+
+    cfg = SimConfig(c_num=12, c_space=128, ydim=288, dtype="float64",
+                    storage="raw")
+    st_ref = _oracle(cfg, 4)
+    sim = ShardedTemporalSim(cfg, make_mesh(2, 1), temporal=2)
+    assert not hasattr(sim._band_super, "tile_x")
+    sim._band_super = make_band_super_substep_tiled(
+        cfg, sim._band_pad_s, 2, sim.walls, sim.dtype,
+        forcing=sim.forcing, storage=sim.storage)
+    assert sim._band_super.tile_x == 512
+    st = sim.run_chunk(sim.init_state(), 4)
+    np.testing.assert_allclose(
+        np.asarray(st.f), np.asarray(st_ref.f), rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(float(st.q), float(st_ref.q), rtol=1e-12,
+                               atol=1e-15)

@@ -120,3 +120,44 @@ def test_temporal_quirk_super_config_falls_back():
     b = tem.run_chunk(tem.init_state(), 8)
     np.testing.assert_allclose(
         np.asarray(b.f), np.asarray(a.f), rtol=1e-13, atol=1e-15)
+
+
+def test_band_super_tiled_matches_untiled():
+    # x-tiled resident-band super-kernel (the BASELINE config-5 path:
+    # XDIM=8192 exceeds one VMEM block) must reproduce the whole-domain
+    # kernel EXACTLY: the ghost-column margin gx >= W + 8K provably
+    # contains the edge-error light cone (streaming + delta reach through
+    # the overlapping-window IB coupling) — see
+    # ops/pallas_step.make_band_super_substep_tiled.
+    from cuda_iblb_11_tpu.ops.pallas_step import make_band_super_substep_tiled
+
+    cfg = SimConfig(c_num=12, c_space=128, ydim=192, dtype="float64",
+                    storage="raw")
+    a = MucociliarySim(cfg, backend="pallas", temporal=2)
+    assert a._band_super is not None and not hasattr(a._band_super, "tile_x")
+    b = MucociliarySim(cfg, backend="pallas", temporal=2)
+    b._band_super = make_band_super_substep_tiled(
+        cfg, b._band_pad_s, 2, b.walls, b.dtype, forcing=b.forcing,
+        storage=b.storage)
+    assert b._band_super.tile_x == 512          # 3 tiles of 512 + 2*400
+    assert b._band_super.halo == a._band_super.halo
+    sa = a.run_chunk(a.init_state(), 6)
+    sb = b.run_chunk(b.init_state(), 6)
+    np.testing.assert_array_equal(np.asarray(sb.f), np.asarray(sa.f))
+    np.testing.assert_array_equal(np.asarray(sb.force), np.asarray(sa.force))
+    assert float(sb.q) == float(sa.q)
+
+
+def test_band_super_tiled_selection_at_8192():
+    # at the BASELINE config-5 width the whole-domain kernel must reject
+    # (VMEM) and the tiled factory must pick a 2-tile split whose extended
+    # blocks fit the budget; construction only — no TPU compile here.
+    from cuda_iblb_11_tpu.ops.pallas_step import (
+        make_band_super_substep, make_band_super_substep_tiled,
+    )
+
+    cfg = SimConfig(c_num=64, c_space=128, ydim=8192, dtype="float32")
+    with pytest.raises(ValueError, match="VMEM footprint"):
+        make_band_super_substep(cfg, 8, 8, interpret=False)
+    sub = make_band_super_substep_tiled(cfg, 8, 8, interpret=False)
+    assert sub.tile_x == 4096 and sub.gx == 512
