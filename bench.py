@@ -12,7 +12,8 @@ ops/pallas_step.make_band_super_substep, full-precision MXU window dots).
 The super-kernel re-associates the IB contractions, so it is NOT bit-exact
 vs the single-step fused kernel; its measured deviation is reported in
 diag.super_vs_single_rel_l2 (~3.5e-6 at 2,048 steps since the r3
-bf16-split full-precision fix; the f32-vs-f64 envelope is gated in
+bf16-split full-precision fix — unchanged by the r3 shared-monomial
+collide, which all kernels share; the f32-vs-f64 envelope is gated in
 tests/test_accuracy_horizon.py and characterized in
 validation/accuracy_horizon.json).
 

@@ -131,67 +131,6 @@ def _collide_stream_kernel(
         return jnp.concatenate(
             [fo_up[c, 7:8, :], foc[c], fo_dn[c, 0:1, :]], axis=0)
 
-    # --- moments (plane-by-plane accumulation keeps liveness low) --------
-    fsum = fplane(0)
-    mom_x = None
-    mom_y = None
-    for d in range(1, 9):
-        p = fplane(d)
-        fsum = fsum + p
-        if CX[d] == 1:
-            mom_x = p if mom_x is None else mom_x + p
-        elif CX[d] == -1:
-            mom_x = mom_x - p
-        if CY[d] == 1:
-            mom_y = p if mom_y is None else mom_y + p
-        elif CY[d] == -1:
-            mom_y = mom_y - p
-    gx = foplane(0)
-    gy = foplane(1)
-    rho = 1.0 + fsum if storage == "deviatoric" else fsum
-    drho = fsum if storage == "deviatoric" else None
-    inv_rho = 1.0 / rho
-    # Previous step's spread-corrected velocity (ImmersedBoundary.cu:249-255),
-    # recomputed from (f, force) instead of stored.
-    ux = (mom_x + 0.5 * gx) * inv_rho
-    uy = (mom_y + 0.5 * gy) * inv_rho
-    u2h = 0.5 / CS2 * (ux * ux + uy * uy)
-
-    lam_p = 1.0 - 1.0 / (2.0 * tau)
-    lam_m = 1.0 - 1.0 / (2.0 * tau2)
-    omega_p = 1.0 / tau
-    omega_m = 1.0 / tau2
-
-    def eq_and_src(d):
-        """Equilibrium f0_d (LatticeBoltzmann.cu:47-50) and raw Guo source
-        w_d * (vec_d . g) (:53-56, before the scheme prefactor)."""
-        cx, cy, w = CX[d], CY[d], WI[d]
-        cu = 0.0
-        if cx == 1:
-            cu = ux
-        elif cx == -1:
-            cu = -ux
-        if cy == 1:
-            cu = cu + uy
-        elif cy == -1:
-            cu = cu - uy
-        if cx == 0 and cy == 0:
-            if storage == "deviatoric":
-                f0 = w * drho - rho * w * u2h
-            else:
-                f0 = rho * w * (1.0 - u2h)
-            src = (-w / CS2) * (ux * gx + uy * gy)
-        else:
-            poly = cu * (1.0 / CS2) + cu * cu * (0.5 / CS4) - u2h
-            if storage == "deviatoric":
-                f0 = w * drho + rho * w * poly
-            else:
-                f0 = rho * w * (1.0 + poly)
-            vec_x = (cx - ux) * (1.0 / CS2) + cu * (cx * (1.0 / CS4))
-            vec_y = (cy - uy) * (1.0 / CS2) + cu * (cy * (1.0 / CS4))
-            src = w * (vec_x * gx + vec_y * gy)
-        return f0, src
-
     def stream_write(d, f1_d):
         """Pull-form streaming: out row r (working row r+1) takes f1 working
         row r+1-cy, rolled by cx in x (periodic "thru" stream)."""
@@ -201,37 +140,21 @@ def _collide_stream_kernel(
             rows = jnp.roll(rows, cx, axis=-1)
         out_ref[d] = rows
 
-    # --- rest population: BGK with omega+, no forcing (:86) --------------
-    p0 = fplane(0)
-    f0_0, _ = eq_and_src(0)
-    stream_write(0, p0 - omega_p * (p0 - f0_0))
+    # --- TRT + Guo collide of the (ty+2, X) working planes (the shared
+    # expression tree, see _collide_tile), then pull-form streaming.  The
+    # two halo rows are collided redundantly (they become the pulled rows).
+    f = [fplane(d) for d in range(9)]
+    gx = foplane(0)
+    gy = foplane(1)
+    f1, _, _ = _collide_tile(f, gx, gy, tau=tau, tau2=tau2,
+                             forcing=forcing, storage=storage)
     wall_rows = [None] * 9
-
-    # --- TRT pairs (1,3),(2,4),(5,7),(6,8) (:88-134), processed eagerly --
-    for a, b in ((1, 3), (2, 4), (5, 7), (6, 8)):
-        pa = fplane(a)
-        pb = fplane(b)
-        f0a, sa = eq_and_src(a)
-        f0b, sb = eq_and_src(b)
-        even = omega_p * (0.5 * (pa + pb) - 0.5 * (f0a + f0b))
-        odd = omega_m * (0.5 * (pa - pb) - 0.5 * (f0a - f0b))
-        if forcing == "reference":
-            fa = lam_p * sa
-            fb = lam_p * sb
-        else:  # trt_split: TRT-consistent Guo prefactors (see ops/reference)
-            s_even = 0.5 * (sa + sb)
-            s_odd = 0.5 * (sa - sb)
-            fa = lam_p * s_even + lam_m * s_odd
-            fb = lam_p * s_even - lam_m * s_odd
-        f1a = pa - even - odd + fa
-        f1b = pb - even + odd + fb
-        stream_write(a, f1a)
-        stream_write(b, f1b)
+    for d in range(9):
+        stream_write(d, f1[d])
         # Stash the single wall-source rows for the end-of-kernel fixups
-        # (f1 values die with the pair; a fixup may target a direction whose
-        # main write happens in a LATER pair, so fixups must run last).
-        wall_rows[a] = (f1a[1:2, :], f1a[ty:ty + 1, :])
-        wall_rows[b] = (f1b[1:2, :], f1b[ty:ty + 1, :])
+        # (a fixup may target a direction whose main write happens later,
+        # so fixups must run after ALL main writes).
+        wall_rows[d] = (f1[d][1:2, :], f1[d][ty:ty + 1, :])
 
     # Wall fixups (working row 1 = global bottom row y=0; working row ty =
     # global top row y=YDIM-1), after ALL main writes.
@@ -371,68 +294,18 @@ def _pipelined_kernel(
         sc = i % 2
         rc = i % 3
         # Loads are cast to the compute dtype (f32 math over bf16 storage
-        # in the fast mode; identity for f32/f64 storage).
+        # in the fast mode; identity for f32/f64 storage).  deviatoric
+        # storage: f holds f_i - w_i, so rho = 1 + sum (sum w = 1) and the
+        # momentum sums are unchanged (sum w c = 0) but free of the f32
+        # cancellation of the large constant part.  The collide expression
+        # tree is shared with every other kernel (see _collide_tile).
         f = [fsl[sc, d].astype(cdt) for d in range(9)]
-        fsum = f[0] + f[1] + f[2] + f[3] + f[4] + f[5] + f[6] + f[7] + f[8]
-        # deviatoric storage: f holds f_i - w_i, so rho = 1 + sum (sum w = 1)
-        # and the momentum sums are unchanged (sum w c = 0) but free of the
-        # f32 cancellation of the large constant part.
-        rho = 1.0 + fsum if storage == "deviatoric" else fsum
-        drho = fsum if storage == "deviatoric" else None
-        mom_x = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
-        mom_y = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
         gx = fosl[sc, 0].astype(cdt)
         gy = fosl[sc, 1].astype(cdt)
-        inv_rho = 1.0 / rho
-        # Previous step's spread-corrected velocity
-        # (ImmersedBoundary.cu:249-255), recomputed from (f, force).
-        ux = (mom_x + 0.5 * gx) * inv_rho
-        uy = (mom_y + 0.5 * gy) * inv_rho
-        u2h = (0.5 / CS2) * (ux * ux + uy * uy)
-        ug = (1.0 / CS2) * (ux * gx + uy * gy)
-
-        lam_p = 1.0 - 1.0 / (2.0 * tau)
-        lam_m = 1.0 - 1.0 / (2.0 * tau2)
-        lam_odd = lam_p if forcing == "reference" else lam_m
-        omega_p = 1.0 / tau
-        omega_m = 1.0 / tau2
-
-        # Rest population: BGK with omega+, no forcing
-        # (LatticeBoltzmann.cu:86).
-        if storage == "deviatoric":
-            f0_0 = WI[0] * drho - rho * (WI[0] * u2h)
-        else:
-            f0_0 = rho * (WI[0] * (1.0 - u2h))
-        f1sl[rc, 0] = f[0] - omega_p * (f[0] - f0_0)
-        for a, b in ((1, 3), (2, 4), (5, 7), (6, 8)):
-            cx, cy, w = CX[a], CY[a], WI[a]
-            cu = ux if cx == 1 else -ux if cx == -1 else 0.0
-            if cy == 1:
-                cu = cu + uy
-            elif cy == -1:
-                cu = cu - uy
-            cg = gx if cx == 1 else -gx if cx == -1 else 0.0
-            if cy == 1:
-                cg = cg + gy
-            elif cy == -1:
-                cg = cg - gy
-            if storage == "deviatoric":
-                f0_p = (w * drho + rho * (w * (cu * cu * (0.5 / CS4)))
-                        - (w * rho) * u2h)
-            else:
-                f0_p = (rho * (w * (1.0 + cu * cu * (0.5 / CS4)))
-                        - (w * rho) * u2h)
-            f0_m = (w / CS2) * (rho * cu)
-            s_even = w * (cu * cg * (1.0 / CS4) - ug)
-            s_odd = (w / CS2) * cg
-            f_p = 0.5 * (f[a] + f[b])
-            f_m = 0.5 * (f[a] - f[b])
-            even = omega_p * (f_p - f0_p)
-            odd = omega_m * (f_m - f0_m)
-            fa = lam_p * s_even + lam_odd * s_odd
-            fb = lam_p * s_even - lam_odd * s_odd
-            f1sl[rc, a] = f[a] - even - odd + fa
-            f1sl[rc, b] = f[b] - even + odd + fb
+        f1, _, _ = _collide_tile(f, gx, gy, tau=tau, tau2=tau2,
+                                 forcing=forcing, storage=storage)
+        for d in range(9):
+            f1sl[rc, d] = f1[d]
 
         # Optionally expose one local row's f1 (temporal blocking reads the
         # band's top-row post-collision values as the bulk's seam halo).
@@ -553,14 +426,19 @@ def _pipelined_kernel(
 
         # ... and the flux-column partials (rho, mom_x at x = flux_lane,
         # ImmersedBoundary.cu:259-264) for every tile, replacing the
-        # whole-array lane slice outside the kernel.
-        colmask = (jax.lax.broadcasted_iota(jnp.int32, (1, xdim), 1)
-                   == flux_lane).astype(cdt)
+        # whole-array lane slice outside the kernel.  flux_lane is static:
+        # reduce one 128-lane block (bit-identical — adding zeros is
+        # exact in any order).
+        bw = min(128, xdim)
+        bs = min((flux_lane // bw) * bw, xdim - bw)
+        colmask = (jax.lax.broadcasted_iota(jnp.int32, (1, bw), 1)
+                   == (flux_lane - bs)).astype(cdt)
         lane0 = (jax.lax.broadcasted_iota(jnp.int32, (ty, 128), 1)
                  == 0).astype(cdt)
-        flux_out[0] = jnp.sum(rho * colmask, axis=1, keepdims=True) * lane0
-        flux_out[1] = jnp.sum(mom_x * colmask, axis=1,
-                              keepdims=True) * lane0
+        flux_out[0] = jnp.sum(rho[:, bs:bs + bw] * colmask,
+                              axis=1, keepdims=True) * lane0
+        flux_out[1] = jnp.sum(mom_x[:, bs:bs + bw] * colmask,
+                              axis=1, keepdims=True) * lane0
 
 
 def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32,
@@ -744,31 +622,69 @@ def pick_band_leg_tile(cfg, n_steps: int, dtype, xdim: int | None = None):
 
 
 def _collide_tile(f, gx, gy, *, tau, tau2, forcing, storage):
-    """Pair-form TRT + Guo collide of nine (r, X) planes (identical
-    arithmetic to the _pipelined_kernel collide phase).  gx=gy=None means
+    """Pair-form TRT + Guo collide of nine (r, X) planes.  gx=gy=None means
     zero body force (all source terms drop).  Returns (f1 list, rho, mom_x)
-    — the latter two reused for the flux-column diagnostic."""
+    — the latter two reused for the flux-column diagnostic.
+
+    This is THE collide expression tree: every Pallas kernel in this module
+    (single-step pipelined + halo-band, temporal bulk, ghost temporal, band
+    super, seam slab) routes its collision through this function, so the
+    temporal-blocking seam halos stay bit-identical across producers and
+    consumers (an XLA-side seam collide that merely rounds differently gets
+    amplified to ~5e-4 by the stiff IB feedback — see
+    make_collide_rows_kernel).
+
+    Shared-monomial form (r3): the pair equilibria are evaluated from the
+    four cu monomials {ux, uy, ux+uy, uy-ux} and two per-weight-class
+    rho/drho products instead of per-pair w*rho / w*drho / cu re-derivation
+    — exactly equal in exact arithmetic to the reference's per-direction
+    update (LatticeBoltzmann.cu:47-56,86-134; asserted to f64 round-off in
+    tests), ~20% fewer VPU ops, measured +5% on the K=16 temporal mode
+    (the kernel is ~30% collide arithmetic by an identity-collide probe).
+    All constants reproduce the reference's truncated C_S literal
+    (CS_KERNEL = 0.57735): 0.5/CS2 != 1.5 exactly, so the factors are
+    spelled via CS2/CS4 rather than decimal literals."""
+    p57 = f[5] - f[7]
+    d68 = f[6] - f[8]
     fsum = f[0] + f[1] + f[2] + f[3] + f[4] + f[5] + f[6] + f[7] + f[8]
     rho = 1.0 + fsum if storage == "deviatoric" else fsum
     drho = fsum if storage == "deviatoric" else None
-    mom_x = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
-    mom_y = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
+    mom_x = (f[1] - f[3]) + p57 - d68
+    mom_y = (f[2] - f[4]) + p57 + d68
     inv_rho = 1.0 / rho
     if gx is None:
         ux = mom_x * inv_rho
         uy = mom_y * inv_rho
     else:
+        # previous step's spread-corrected velocity
+        # (ImmersedBoundary.cu:249-255), recomputed from (f, force)
         ux = (mom_x + 0.5 * gx) * inv_rho
         uy = (mom_y + 0.5 * gy) * inv_rho
-    u2h = (0.5 / CS2) * (ux * ux + uy * uy)
-    if gx is not None:
         ug = (1.0 / CS2) * (ux * gx + uy * gy)
 
+    omega_p = 1.0 / tau
+    omega_m = 1.0 / tau2
+    hp = 0.5 * omega_p
+    hm = 0.5 * omega_m
     lam_p = 1.0 - 1.0 / (2.0 * tau)
     lam_m = 1.0 - 1.0 / (2.0 * tau2)
     lam_odd = lam_p if forcing == "reference" else lam_m
-    omega_p = 1.0 / tau
-    omega_m = 1.0 / tau2
+
+    # cu per pair (first member): dirs 1,2,5,6 = (1,0),(0,1),(1,1),(-1,1)
+    d1 = ux + uy
+    d2 = uy - ux
+    cu = [ux, uy, d1, d2]
+    q = [ux * ux, uy * uy, d1 * d1, d2 * d2]
+    u2h = (0.5 / CS2) * (q[0] + q[1])
+
+    # per-weight-class products: axis pairs (w=1/9), diagonal (w=1/36);
+    # f0p2/f0m2 below are DOUBLED equilibria (2*f0^+/2*f0^-), folding the
+    # 0.5 of the even/odd projections into hp/hm.
+    w_ax, w_di = WI[1], WI[5]
+    if storage == "deviatoric":
+        wd2 = [(2.0 * w_ax) * drho, (2.0 * w_di) * drho]
+    wr2 = [(2.0 * w_ax) * rho, (2.0 * w_di) * rho]
+    wrc = [(1.0 / CS2) * wr2[0], (1.0 / CS2) * wr2[1]]
 
     f1 = [None] * 9
     # Rest population: BGK with omega+, no forcing (LatticeBoltzmann.cu:86).
@@ -777,39 +693,31 @@ def _collide_tile(f, gx, gy, *, tau, tau2, forcing, storage):
     else:
         f0_0 = rho * (WI[0] * (1.0 - u2h))
     f1[0] = f[0] - omega_p * (f[0] - f0_0)
-    for a, b in ((1, 3), (2, 4), (5, 7), (6, 8)):
-        cx, cy, w = CX[a], CY[a], WI[a]
-        cu = ux if cx == 1 else -ux if cx == -1 else 0.0
-        if cy == 1:
-            cu = cu + uy
-        elif cy == -1:
-            cu = cu - uy
+    for k, (a, b) in enumerate(((1, 3), (2, 4), (5, 7), (6, 8))):
+        c = 0 if k < 2 else 1
+        tp = (0.5 / CS4) * q[k] - u2h
         if storage == "deviatoric":
-            f0_p = (w * drho + rho * (w * (cu * cu * (0.5 / CS4)))
-                    - (w * rho) * u2h)
+            f0p2 = wd2[c] + wr2[c] * tp
         else:
-            f0_p = (rho * (w * (1.0 + cu * cu * (0.5 / CS4)))
-                    - (w * rho) * u2h)
-        f0_m = (w / CS2) * (rho * cu)
-        f_p = 0.5 * (f[a] + f[b])
-        f_m = 0.5 * (f[a] - f[b])
-        even = omega_p * (f_p - f0_p)
-        odd = omega_m * (f_m - f0_m)
-        if gx is None:
-            f1[a] = f[a] - even - odd
-            f1[b] = f[b] - even + odd
-        else:
-            cg = gx if cx == 1 else -gx if cx == -1 else 0.0
-            if cy == 1:
+            f0p2 = wr2[c] + wr2[c] * tp
+        f0m2 = wrc[c] * cu[k]
+        even = hp * ((f[a] + f[b]) - f0p2)
+        odd = hm * ((f[a] - f[b]) - f0m2)
+        f1a = f[a] - (even + odd)
+        f1b = f[b] - (even - odd)
+        if gx is not None:
+            w = WI[a]
+            cg = gx if CX[a] == 1 else -gx if CX[a] == -1 else 0.0
+            if CY[a] == 1:
                 cg = cg + gy
-            elif cy == -1:
+            elif CY[a] == -1:
                 cg = cg - gy
-            s_even = w * (cu * cg * (1.0 / CS4) - ug)
+            s_even = w * (cu[k] * cg * (1.0 / CS4) - ug)
             s_odd = (w / CS2) * cg
-            fa = lam_p * s_even + lam_odd * s_odd
-            fb = lam_p * s_even - lam_odd * s_odd
-            f1[a] = f[a] - even - odd + fa
-            f1[b] = f[b] - even + odd + fb
+            f1a = f1a + (lam_p * s_even + lam_odd * s_odd)
+            f1b = f1b + (lam_p * s_even - lam_odd * s_odd)
+        f1[a] = f1a
+        f1[b] = f1b
     return f1, rho, mom_x
 
 
@@ -895,14 +803,22 @@ def _temporal_kernel(
     n_tiles = pl.num_programs(0) - n_steps
     K = n_steps
 
-    colmask = (jax.lax.broadcasted_iota(jnp.int32, (1, xdim), 1)
-               == flux_lane).astype(cdt)
+    # flux_lane is static here (single-chip bulk), so the column sample
+    # reduces a single 128-lane block instead of the full width — summing
+    # a one-hot-masked plane is exact in any order (adding zeros), so this
+    # stays bit-identical to the full-X reduction (and to the ghost
+    # kernel's, whose lane is a runtime flag and must keep the full sweep).
+    bw = min(128, xdim)
+    bs = min((flux_lane // bw) * bw, xdim - bw)
+    colmask = (jax.lax.broadcasted_iota(jnp.int32, (1, bw), 1)
+               == (flux_lane - bs)).astype(cdt)
     onehot = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
                + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1))
               == 0).astype(jnp.float32)
 
     def colsum(plane):
-        return jnp.sum(plane * colmask, axis=1, keepdims=True)  # (r, 1)
+        return jnp.sum(plane[:, bs:bs + bw] * colmask,
+                       axis=1, keepdims=True)  # (r, 1)
 
     def start_dma(t):
         pltpu.make_async_copy(
@@ -1248,7 +1164,7 @@ def _band_super_kernel(
         # the f64 oracle; 4.8e-6 with this fix).  Mosaic supports only
         # DEFAULT|HIGHEST in-kernel; HIGHEST costs ~9% of the K=16 rate
         # (13.55k -> 12.3k MLUPS) — the accuracy claim is worth it.  The
-        # bf16 fast mode skips it: its ~1e-2 storage noise dwarfs the MXU
+        # bf16 fast mode skips it: its ~2e-3 storage-floor noise dwarfs MXU
         # rounding, so the 6 passes would buy nothing.
         def dot_hi(a, b, dims):
             """Full-precision-enough window contraction.  cdt == f32 on
@@ -1260,7 +1176,7 @@ def _band_super_kernel(
             vs 6.3e-4 for the 1-pass DEFAULT — at 13.46k MLUPS vs 12.6k
             (HIGHEST) / 13.55k (DEFAULT): ~90% of HIGHEST's cost
             reclaimed.  f64 (interpret/oracle runs) and the bf16 fast
-            mode (its ~1e-2 storage noise dwarfs MXU rounding) use a
+            mode (its ~2e-3 storage-floor noise dwarfs MXU rounding) use a
             plain dot."""
             dims = (dims, ((), ()))
             if not mxu_full_precision or cdt != jnp.float32:
@@ -1322,7 +1238,7 @@ def _band_super_kernel(
     @pl.when(s == K - 1)
     def _finish():
         for d in range(9):
-            fband_out[d] = fsc[d, :band]
+            fband_out[d] = fsc[d, :band].astype(fband_out.dtype)
         force_out[...] = fosc[...]
 
 
@@ -1368,7 +1284,7 @@ def _band_super_resident(width, rows, band, fpad_extra, dtype, cdt):
     given block width.  fpad_extra = 2*halo in fold mode, 0 in tiled mode
     (the tiled block carries its ghost columns in `width`)."""
     return (
-        9 * rows * (dtype.itemsize + cdt.itemsize)   # fsc + f1sc
+        9 * rows * 2 * cdt.itemsize                  # fsc + f1sc (both cdt)
         + 9 * band * dtype.itemsize                  # fband_out
         + 9 * 8 * cdt.itemsize                       # one bhalos row block
         + 2 * band * 2 * cdt.itemsize                # fosc + force_out
@@ -1420,7 +1336,12 @@ def _build_band_super_call(cfg, rows, band, K, width, win_lo, fold,
             jax.ShapeDtypeStruct((K, 8, 128), cdt),
         ],
         scratch_shapes=[
-            pltpu.VMEM((9, rows, width), dtype),     # f state
+            # f state is kept at the COMPUTE dtype across the whole
+            # super-step: with bf16 storage, a bf16 resident block would
+            # re-round the band state every sub-step exactly where the
+            # stiff IB feedback lives; f32 scratch confines the bf16
+            # rounding to the once-per-K-steps HBM boundary.
+            pltpu.VMEM((9, rows, width), cdt),       # f state
             pltpu.VMEM((9, rows, width), cdt),       # f1
             pltpu.VMEM((2, band, width), cdt),       # force
             pltpu.VMEM((2, band, fpad_w), cdt),      # overlap-add strip
@@ -1428,7 +1349,7 @@ def _build_band_super_call(cfg, rows, band, K, width, win_lo, fold,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
-                (9 * rows * (dtype.itemsize + cdt.itemsize)
+                (9 * rows * 2 * cdt.itemsize
                  + 9 * band * dtype.itemsize
                  + 8 * band * cdt.itemsize
                  + 2 * band * 2 * cdt.itemsize
@@ -1507,7 +1428,7 @@ def make_band_super_substep(cfg, pad: int, n_steps: int,
 
     def substep(f_ext, force, u_s, eps, axl, fx, ay, fy):
         f_band, bhalos, force_new, flux = call(
-            f_ext.astype(dtype), force.astype(cdt), u_s.astype(cdt),
+            f_ext.astype(cdt), force.astype(cdt), u_s.astype(cdt),
             eps.astype(cdt), axl.astype(jnp.int32), fx.astype(cdt),
             ay.astype(jnp.int32), fy.astype(cdt))
         return f_band, bhalos, force_new, flux[:, 0, 0]
@@ -1644,7 +1565,7 @@ def make_band_super_substep_tiled(cfg, pad: int, n_steps: int,
                 return jnp.roll(a, shift, axis=-1)[..., :txe]
 
             out = (call_flux if t == t_flux else call_plain)(
-                ext(f_ext).astype(dtype), ext(force).astype(cdt),
+                ext(f_ext).astype(cdt), ext(force).astype(cdt),
                 u_s[:, :, idx[t], :].astype(cdt),
                 eps[:, idx[t], :].astype(cdt),
                 axl[:, idx[t], :].astype(jnp.int32),
@@ -1722,7 +1643,13 @@ def _ghost_temporal_kernel(
     kernel — the single-chip path's bit-identical-to-single-step claim is
     load-bearing (tests + bench), and threading runtime flags through it
     would perturb proven codegen for zero benefit there.  Any fix to the
-    pipeline in either kernel MUST be applied to both.
+    pipeline in either kernel MUST be applied to both
+    (tests/test_kernel_mirror.py CI-checks the contract).  One known
+    deliberate divergence: _temporal_kernel's colsum reduces a static
+    128-lane block (its flux_lane is a Python int); here the lane is a
+    runtime flag, so the mask sweeps the full width — bit-identical
+    output either way (summing a one-hot-masked plane is exact in any
+    order).
     """
     i = pl.program_id(0)
     K = n_steps
