@@ -127,8 +127,9 @@ class ShardedMucociliarySim:
             raise ValueError(f"unknown ib_x_edge {ib_x_edge!r}")
         # "reference" = the CUDA's row-aliasing/drop quirk at the periodic
         # x edges (ops/ib.py docstring) — supported on this jnp sharded
-        # path so strict-parity studies can run at scale; the pallas
-        # subclasses use the band-matmul IB and keep the physical wrap.
+        # path AND the pallas subclasses (which then swap their band-matmul
+        # IB for the ownership-masked stencil forms) so strict-parity
+        # studies of the committed CUDA can run at scale at full speed.
         self.ib_x_edge = ib_x_edge
         # _local_lb_substep only implements the reference channel's wall
         # fixups; reject anything else rather than silently simulating it
@@ -361,6 +362,55 @@ def _collide_rows(f_rows, force_rows, tau, tau2, forcing, storage):
     return ref.collide_rows(f_rows, force_rows, tau, tau2, forcing, storage)
 
 
+def _quirk_interp_block(f_block, s, u_s, cfg, y0, rows, x0, xl, storage):
+    """PARTIAL strict-parity ('reference_alias', ops/ib.py) IB
+    interpolation over a local block [9, rows, xl] holding global rows
+    [y0, y0+rows) x columns [x0, x0+xl): the quirk stencil is evaluated
+    globally, cells not owned by this block contribute zero, and the
+    caller psums the result over exactly the mesh axes that partition
+    ownership (both for per-shard blocks; 'x' only for the y-replicated
+    band block of the temporal tiled leg).  Matches ops/ib.
+    interpolate_from_f(..., x_edge="reference") up to the psum
+    re-association."""
+    xw, yc, w, valid = ib._stencil(s, cfg.xdim, cfg.ydim, "reference_alias")
+    w = jnp.where(valid, w, 0.0)
+    own = ((yc >= y0) & (yc < y0 + rows)
+           & (xw >= x0) & (xw < x0 + xl))
+    yloc = jnp.clip(yc - y0, 0, rows - 1)
+    xloc = jnp.clip(xw - x0, 0, xl - 1)
+    f_cells = f_block[:, yloc, xloc]                   # [9, Ns, 9cells]
+    rho_c = jnp.sum(f_cells, axis=0)
+    if storage == "deviatoric":
+        rho_c = 1.0 + rho_c
+    c = jnp.asarray(C, f_block.dtype)
+    mom = jnp.einsum("inm,ic->cnm", f_cells, c,
+                     precision=jax.lax.Precision.HIGH)
+    u_c = mom / rho_c[None]
+    diff = u_s.T[:, :, None] - u_c                     # [2, Ns, 9cells]
+    wm = jnp.where(own, w, 0.0)
+    return jnp.sum(2.0 * wm[None] * rho_c[None] * diff, axis=-1).T
+
+
+def _quirk_spread_block(f_s, s, eps, cfg, x0, xl, band):
+    """Strict-parity ('reference_drop') spreading into the shard's own
+    force columns [2, band, xl]: the drop mode discards the periodic
+    x-images exactly like the reference's raw-coordinate test
+    (ImmersedBoundary.cu:178-231); rows stay inside the band (points
+    live there — same contract as the single-chip quirk path's
+    ib.spread(..., band)).  x-ownership masking makes the per-shard
+    scatter exact without any collective (every cell is owned by
+    exactly one x-shard; the band rows are y-replicated)."""
+    xw, yc, w, valid = ib._stencil(s, cfg.xdim, band, "reference_drop")
+    own = (xw >= x0) & (xw < x0 + xl)
+    ws = jnp.where(valid & own, w, 0.0) * eps[:, None].astype(w.dtype)
+    yloc = jnp.clip(yc, 0, band - 1)
+    xloc = jnp.clip(xw - x0, 0, xl - 1)
+    flat = (yloc * xl + xloc).reshape(-1)
+    vals = (f_s.T[:, :, None] * ws[None]).reshape(2, -1)
+    force = jnp.zeros((2, band * xl), f_s.dtype)
+    return force.at[:, flat].add(vals).reshape(2, band, xl)
+
+
 class _ShardedPallasChunkMixin:
     def _chunk_specs(self):
         # force holds global band rows x the shard's own columns
@@ -395,8 +445,10 @@ class ShardedPallasSim(_ShardedPallasChunkMixin, ShardedMucociliarySim):
     def __init__(self, cfg: SimConfig, mesh: Mesh,
                  walls: ref.WallSpec = ref.REFERENCE_WALLS,
                  forcing: str = "trt_split", pattern: str = "no_mucus",
-                 dtype=None, interpret=None):
-        super().__init__(cfg, mesh, walls, forcing, pattern, dtype)
+                 dtype=None, interpret=None, *,
+                 ib_x_edge: str = "periodic"):
+        super().__init__(cfg, mesh, walls, forcing, pattern, dtype,
+                         ib_x_edge=ib_x_edge)
         from cuda_iblb_11_tpu.ops.pallas_step import (
             make_sharded_fused_substep,
         )
@@ -471,9 +523,12 @@ class ShardedPallasSim(_ShardedPallasChunkMixin, ShardedMucociliarySim):
 
     # -- the per-shard fluid + IB + flux step --------------------------------
 
-    def _pallas_fluid(self, f_loc, force_loc, q, u_s, eps, anchored):
+    def _pallas_fluid(self, f_loc, force_loc, q, u_s, eps, anchored,
+                      s_pts=None):
         """Fluid + IB + flux for one step given this step's boundary data —
-        the scan body of the chunked path (cilia batched outside)."""
+        the scan body of the chunked path (cilia batched outside).  s_pts
+        (raw Lagrangian positions) is consumed only by the strict-parity
+        quirk IB (ib_x_edge="reference")."""
         cfg = self.cfg
         band = cfg.force_band
         yl, xl = self.yl, self.xl
@@ -540,13 +595,22 @@ class ShardedPallasSim(_ShardedPallasChunkMixin, ShardedMucociliarySim):
         # --- IB: partial band-moment integrals + psum ---------------------
         from cuda_iblb_11_tpu.ops import ib_band
 
-        i_q = ib_band.interpolate_partial(
-            f_new, cfg.xdim, band, y0, x0, min(yl, band),
-            storage=self.storage, anchored=anchored)
-        i_q = jax.lax.psum(jax.lax.psum(i_q, "x"), "y")
-        f_s = ib_band.finish_interpolate(i_q, u_s.astype(i_q.dtype))
-        force_new = ib_band.spread_local(
-            f_s, eps, cfg.xdim, band, x0, xl, anchored=anchored)
+        if self.ib_x_edge == "reference":
+            # strict-parity quirk stencils (ownership-masked; each stencil
+            # cell is owned by exactly one shard, so the psum is exact)
+            f_s = _quirk_interp_block(
+                f_new, s_pts, u_s, cfg, y0, yl, x0, xl, self.storage)
+            f_s = jax.lax.psum(jax.lax.psum(f_s, "x"), "y")
+            force_new = _quirk_spread_block(f_s, s_pts, eps, cfg, x0, xl,
+                                            band)
+        else:
+            i_q = ib_band.interpolate_partial(
+                f_new, cfg.xdim, band, y0, x0, min(yl, band),
+                storage=self.storage, anchored=anchored)
+            i_q = jax.lax.psum(jax.lax.psum(i_q, "x"), "y")
+            f_s = ib_band.finish_interpolate(i_q, u_s.astype(i_q.dtype))
+            force_new = ib_band.spread_local(
+                f_s, eps, cfg.xdim, band, x0, xl, anchored=anchored)
 
         # --- flux: masked local column + psum (cumulative Q) --------------
         fx = cfg.flux_x
@@ -569,10 +633,10 @@ class ShardedPallasSim(_ShardedPallasChunkMixin, ShardedMucociliarySim):
 
     def _step_local_pallas(self, f_loc, force_loc, lasts, q, it):
         pos, vel, lasts_new = self.cilia.kinematics(it, lasts)
-        _, u_s, eps = self.cilia.place_and_mask(pos, vel)
+        s, u_s, eps = self.cilia.place_and_mask(pos, vel)
         anchored = self.cilia.anchored_nodes(pos)
         f_new, force_new, q_new = self._pallas_fluid(
-            f_loc, force_loc, q, u_s, eps, anchored)
+            f_loc, force_loc, q, u_s, eps, anchored, s)
         return (f_new, force_new, lasts_new.astype(lasts.dtype), q_new,
                 it + 1)
 
@@ -580,25 +644,25 @@ class ShardedPallasSim(_ShardedPallasChunkMixin, ShardedMucociliarySim):
         """Batched cilia boundary data for steps [it, it+n_steps): the
         kinematics are replicated per-shard (cheap) and computed OUTSIDE
         the fluid scan, mirroring MucociliarySim._run_scan.  Returns
-        (pos [n, ...], u_s, eps, anchor, frac)."""
+        (pos [n, ...], s, u_s, eps, anchor, frac)."""
         cilia = self.cilia
         its = it + jnp.arange(n_steps, dtype=jnp.int32)
         pos = jax.vmap(cilia.positions)(its)
         vel = jnp.where((its > 0)[:, None, None, None],
                         jax.vmap(cilia.velocities)(its),
                         jnp.zeros_like(pos))
-        _, u_s, eps = jax.vmap(cilia.place_and_mask)(pos, vel)
+        s_all, u_s, eps = jax.vmap(cilia.place_and_mask)(pos, vel)
         anchor, frac = jax.vmap(cilia.anchored_nodes)(pos)
-        return pos, u_s, eps, anchor, frac
+        return pos, s_all, u_s, eps, anchor, frac
 
     def _scan_steps(self, f, force, q, xs):
         """Scan the per-step fluid+IB body over stacked boundary data
-        xs = (u_s, eps, anchor, frac)."""
+        xs = (s, u_s, eps, anchor, frac)."""
         def body(carry, x):
             fc, fo, qq = carry
-            u_k, e_k, a_k, fr_k = x
+            s_k, u_k, e_k, a_k, fr_k = x
             fc, fo, qq = self._pallas_fluid(
-                fc, fo, qq, u_k, e_k, (a_k, fr_k))
+                fc, fo, qq, u_k, e_k, (a_k, fr_k), s_k)
             return (fc, fo, qq), None
 
         (f, force, q), _ = jax.lax.scan(body, (f, force, q), xs)
@@ -610,9 +674,10 @@ class ShardedPallasSim(_ShardedPallasChunkMixin, ShardedMucociliarySim):
         halo exchange + IB + flux."""
 
         def local_chunk(f, force, lasts, q, it):
-            pos, u_s, eps, anchor, frac = self._boundary_series(it, n_steps)
+            pos, s_all, u_s, eps, anchor, frac = self._boundary_series(
+                it, n_steps)
             f, force, q = self._scan_steps(
-                f, force, q, (u_s, eps, anchor, frac))
+                f, force, q, (s_all, u_s, eps, anchor, frac))
             return (f, force, pos[-1].astype(lasts.dtype), q, it + n_steps)
 
         return jax.jit(
@@ -679,9 +744,10 @@ class ShardedTemporalSim(ShardedPallasSim):
     def __init__(self, cfg: SimConfig, mesh: Mesh,
                  walls: ref.WallSpec = ref.REFERENCE_WALLS,
                  forcing: str = "trt_split", pattern: str = "no_mucus",
-                 dtype=None, temporal: int = 8, interpret=None):
+                 dtype=None, temporal: int = 8, interpret=None, *,
+                 ib_x_edge: str = "periodic"):
         super().__init__(cfg, mesh, walls, forcing, pattern, dtype,
-                         interpret=interpret)
+                         interpret=interpret, ib_x_edge=ib_x_edge)
         from cuda_iblb_11_tpu.ops.pallas_step import (
             make_band_super_substep, make_ghost_temporal_substep,
             make_sharded_fused_substep, pick_band_leg_tile,
@@ -727,7 +793,9 @@ class ShardedTemporalSim(ShardedPallasSim):
         # BASELINE config-5's 8192-wide band, where the super-kernel is
         # VMEM-ineligible).
         self._band_super = None
-        if self.n_x == 1:
+        # (the super-kernel's windowed IB is periodic-only; the quirk
+        # strict-parity mode always takes the tiled per-sub-step leg)
+        if self.n_x == 1 and ib_x_edge == "periodic":
             from cuda_iblb_11_tpu.ops.pallas_step import (
                 make_band_super_substep_tiled,
             )
@@ -896,7 +964,7 @@ class ShardedTemporalSim(ShardedPallasSim):
         pad = self._ghost_pad
         xpad = self._xpad
         K = self.temporal
-        u_s, eps, anchor, frac = xs
+        s_pts, u_s, eps, anchor, frac = xs
         iy = jax.lax.axis_index("y")
         ix = jax.lax.axis_index("x")
         y0 = iy * yl
@@ -940,15 +1008,29 @@ class ShardedTemporalSim(ShardedPallasSim):
         flux_band = jnp.zeros((), aux)
         for s in range(K):
             blk, bh = self._band_substep_x(blk, force, flags_b)
-            anchored = (anchor[s], frac[s])
-            i_q = ib_band.interpolate_partial(
-                blk, cfg.xdim, band, 0, x0, band, storage=self.storage,
-                anchored=anchored)
-            i_q = jax.lax.psum(i_q, "x")
-            f_s = ib_band.finish_interpolate(i_q, u_s[s].astype(i_q.dtype))
-            force = ib_band.spread_local(
-                f_s, eps[s], cfg.xdim, band, x0, xl,
-                anchored=anchored).astype(aux)
+            if self.ib_x_edge == "reference":
+                # strict-parity quirk stencils on the (y-replicated) band
+                # block: every stencil cell lies in the valid trapezoid
+                # rows (same argument as the single-chip temporal quirk
+                # leg, models/mucociliary.py); x-ownership masking + a
+                # psum('x') ONLY (the y-shards hold identical blocks)
+                f_s = _quirk_interp_block(
+                    blk, s_pts[s], u_s[s], cfg, 0, ext, x0, xl,
+                    self.storage)
+                f_s = jax.lax.psum(f_s, "x")
+                force = _quirk_spread_block(
+                    f_s, s_pts[s], eps[s], cfg, x0, xl, band).astype(aux)
+            else:
+                anchored = (anchor[s], frac[s])
+                i_q = ib_band.interpolate_partial(
+                    blk, cfg.xdim, band, 0, x0, band, storage=self.storage,
+                    anchored=anchored)
+                i_q = jax.lax.psum(i_q, "x")
+                f_s = ib_band.finish_interpolate(
+                    i_q, u_s[s].astype(i_q.dtype))
+                force = ib_band.spread_local(
+                    f_s, eps[s], cfg.xdim, band, x0, xl,
+                    anchored=anchored).astype(aux)
             # flux: band rows' u_x at the flux column, half-force
             # corrected (ImmersedBoundary.cu:249-264)
             col_f = blk[:, :band, lane].astype(aux)
@@ -1009,7 +1091,8 @@ class ShardedTemporalSim(ShardedPallasSim):
         halo = 0 if self._band_super is None else self._band_super.halo
 
         def local_chunk(f, force, lasts, q, it):
-            pos, u_s, eps, anchor, frac = self._boundary_series(it, n_steps)
+            pos, s_all, u_s, eps, anchor, frac = self._boundary_series(
+                it, n_steps)
 
             if n_super:
                 if self._band_super is not None:
@@ -1021,8 +1104,8 @@ class ShardedTemporalSim(ShardedPallasSim):
                     def rs(x):
                         return x.reshape((n_super, K) + x.shape[1:])
 
-                    xs_sup = (rs(u_s[:nk]), rs(eps[:nk]), rs(anchor[:nk]),
-                              rs(frac[:nk]))
+                    xs_sup = (rs(s_all[:nk]), rs(u_s[:nk]), rs(eps[:nk]),
+                              rs(anchor[:nk]), rs(frac[:nk]))
                     body = self._super_body_tiled
 
                 def sbody(carry, xs):
@@ -1035,7 +1118,8 @@ class ShardedTemporalSim(ShardedPallasSim):
                 # sharded kernel path
                 f, force, q = self._scan_steps(
                     f, force, q,
-                    (u_s[nk:], eps[nk:], anchor[nk:], frac[nk:]))
+                    (s_all[nk:], u_s[nk:], eps[nk:], anchor[nk:],
+                     frac[nk:]))
             return (f, force, pos[-1].astype(lasts.dtype), q,
                     it + n_steps)
 

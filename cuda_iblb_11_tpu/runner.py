@@ -25,11 +25,6 @@ def _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge="periodic"):
     if not mesh:
         return MucociliarySim(cfg, backend=backend, forcing=forcing,
                               temporal=temporal, ib_x_edge=ib_x_edge)
-    if ib_x_edge != "periodic" and backend == "pallas":
-        raise NotImplementedError(
-            "the strict-parity IB x-edge mode runs on the jnp backends "
-            "(single-device or the jnp sharded path); drop --backend "
-            "pallas")
     import jax
 
     from cuda_iblb_11_tpu.parallel.sharded import (
@@ -44,23 +39,24 @@ def _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge="periodic"):
     xl = cfg.xdim // parts[1]
     pallas_ok = (jax.default_backend() == "tpu" and xl % 128 == 0
                  and cfg.ydim % (8 * parts[0]) == 0
-                 and str(cfg.dtype) in ("float32", "bfloat16")
-                 and ib_x_edge == "periodic")
+                 and str(cfg.dtype) in ("float32", "bfloat16"))
     if backend == "pallas" or (backend == "auto" and pallas_ok):
         if temporal > 1:
-            # communication-avoiding K-step path ((n_y, 1) meshes); fall
-            # back to the per-step sharded kernel when ineligible — loudly,
-            # so a user who asked for K-step blocking knows they are not
-            # getting it (different perf class, not different physics)
+            # communication-avoiding K-step path; fall back to the
+            # per-step sharded kernel when ineligible — loudly, so a user
+            # who asked for K-step blocking knows they are not getting it
+            # (different perf class, not different physics)
             try:
                 return ShardedTemporalSim(cfg, m, forcing=forcing,
-                                          temporal=temporal)
+                                          temporal=temporal,
+                                          ib_x_edge=ib_x_edge)
             except ValueError as e:
                 print(f"warning: --temporal {temporal} with --mesh {mesh} "
                       f"is not eligible for the K-step sharded path ({e}); "
                       f"falling back to the per-step sharded kernel",
                       file=sys.stderr)
-        return ShardedPallasSim(cfg, m, forcing=forcing)
+        return ShardedPallasSim(cfg, m, forcing=forcing,
+                                ib_x_edge=ib_x_edge)
     if temporal > 1:
         print(f"warning: --temporal {temporal} requires the sharded pallas "
               f"path; the jnp sharded backend steps one iteration at a "

@@ -182,6 +182,50 @@ def test_sharded_temporal_tiled_band_leg(K):
 
 
 @needs_devices
+def test_sharded_temporal_quirk_x_edge():
+    # strict-parity quirk IB (ImmersedBoundary.cu:119-124 aliasing +
+    # :178-231 dropped images) through the K-step sharded path: the band
+    # super-kernel (periodic-only windowed IB) is bypassed for the tiled
+    # per-sub-step leg with the ownership-masked stencil forms; must
+    # reproduce the single-device jnp quirk oracle
+    cfg = SimConfig(c_num=4, c_space=48, ydim=256, dtype="float64",
+                    storage="raw")
+    ref_sim = MucociliarySim(cfg, backend="jnp", ib_x_edge="reference")
+    st_ref = ref_sim.run_chunk(ref_sim.init_state(), 8)
+    sim = ShardedTemporalSim(cfg, make_mesh(2, 1), temporal=4,
+                             ib_x_edge="reference")
+    assert sim._band_super is None  # quirk -> tiled band leg
+    st = sim.run_chunk(sim.init_state(), 8)
+    np.testing.assert_allclose(
+        np.asarray(st.f), np.asarray(st_ref.f), rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(
+        np.asarray(st.force), np.asarray(st_ref.force), rtol=1e-10,
+        atol=1e-18)
+    np.testing.assert_allclose(float(st.q), float(st_ref.q), rtol=1e-12,
+                               atol=1e-15)
+    # the quirk bites on this geometry: differs from the periodic default
+    st_p = _oracle(cfg, 8)
+    assert float(np.abs(np.asarray(st_p.f) - np.asarray(st_ref.f)).max()) \
+        > 1e-12
+
+
+@needs_devices
+def test_sharded_temporal_quirk_x_edge_2d_mesh():
+    # quirk mode composing with the x-sharded temporal path (ghost
+    # columns + per-sub-step x-halo band leg + psum('x') stencil IB)
+    cfg = CFG2.replace(ydim=256)
+    ref_sim = MucociliarySim(cfg, backend="jnp", ib_x_edge="reference")
+    st_ref = ref_sim.run_chunk(ref_sim.init_state(), 8)
+    sim = ShardedTemporalSim(cfg, make_mesh(1, 2), temporal=4,
+                             ib_x_edge="reference")
+    st = sim.run_chunk(sim.init_state(), 8)
+    np.testing.assert_allclose(
+        np.asarray(st.f), np.asarray(st_ref.f), rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(float(st.q), float(st_ref.q), rtol=1e-12,
+                               atol=1e-15)
+
+
+@needs_devices
 @pytest.mark.parametrize("n_y,n_x", [(2, 2), (1, 2), (2, 4)])
 def test_sharded_temporal_2d_mesh(n_y, n_x):
     # x-sharded bulk (ghost COLUMNS ppermuted alongside the ghost rows)

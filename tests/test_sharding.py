@@ -195,3 +195,33 @@ def test_sharded_quirk_x_edge_matches_single_device():
     p = MucociliarySim(CFG, backend="jnp")
     sp = p.run_chunk(p.init_state(), 8)
     assert float(np.abs(np.asarray(sp.f) - np.asarray(sa.f)).max()) > 1e-12
+
+
+@needs_8_devices
+@pytest.mark.parametrize("n_y,n_x", [(2, 1), (2, 2)])
+def test_sharded_pallas_quirk_x_edge(n_y, n_x):
+    # the strict-parity quirk through the sharded PALLAS path (ownership-
+    # masked stencil IB + psum instead of the band-matmul partials) must
+    # also reproduce the single-device quirk oracle — parity studies of
+    # the committed CUDA run on the fast scale-out path too
+    from cuda_iblb_11_tpu.parallel.sharded import ShardedPallasSim
+
+    cfg = SimConfig(c_num=4, c_space=48, dtype="float64", storage="raw",
+                    ydim=256)
+    usim = MucociliarySim(cfg, backend="jnp", ib_x_edge="reference")
+    ssim = ShardedPallasSim(cfg, make_mesh(n_y, n_x), interpret=True,
+                            ib_x_edge="reference")
+    ust = usim.init_state()
+    sst = ssim.init_state()
+    for _ in range(4):
+        ust = usim.step(ust)
+        sst = ssim.step(sst)
+    np.testing.assert_allclose(
+        np.asarray(sst.f), np.asarray(ust.f), rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(sst.force), np.asarray(ust.force), rtol=1e-9,
+        atol=1e-16)
+    np.testing.assert_allclose(float(sst.q), float(ust.q), rtol=1e-10)
+    # chunked path threads the point positions through the scan too
+    sc = ssim.run_chunk(ssim.init_state(), 4)
+    np.testing.assert_array_equal(np.asarray(sc.f), np.asarray(sst.f))
