@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="K-step temporal blocking for the pallas backend "
                         "(K LB steps per HBM pass over the force-free bulk; "
                         "bit-exact vs single-step; default 1)")
+    p.add_argument("--pattern", default="no_mucus",
+                   choices=["no_mucus", "mucus"],
+                   help="cilia beat pattern: the reference's active "
+                        "A_mn/B_mn tables (no_mucus, main.cu:56-74) or the "
+                        "mucus-loaded variant it keeps commented out "
+                        "(main.cu:36-54)")
     p.add_argument("--ib-x-edge", default="periodic",
                    choices=["periodic", "reference"],
                    help="IB stencil treatment at the periodic x edges: "
@@ -100,7 +106,7 @@ def main(argv=None) -> int:
         checkpoint_every=args.checkpoint_every, quiet=args.quiet,
         profile_dir=args.profile_dir, temporal=args.temporal,
         mesh=args.mesh, ib_x_edge=args.ib_x_edge,
-        checkpoint_format=args.checkpoint_format)
+        checkpoint_format=args.checkpoint_format, pattern=args.pattern)
     return 0
 
 

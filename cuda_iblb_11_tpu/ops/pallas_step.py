@@ -1595,9 +1595,10 @@ def _ghost_temporal_kernel(
 ):
     """Communication-avoiding K-step kernel for one y-shard's rows.
 
-    The shard's block is extended by `pad == ty` ghost rows on each side
-    (ppermuted from the y-neighbours ONCE per K steps instead of a halo
-    row per step).  Ghost rows evolve force-free without seam input, so
+    The shard's block is extended by `pad` (>= K, a ty-multiple; ty may
+    be smaller than pad — wide grids take 8-row tiles under a 16-row pad)
+    ghost rows on each side (ppermuted from the y-neighbours ONCE per K
+    steps instead of a halo row per step).  Ghost rows evolve force-free without seam input, so
     garbage creeps inward one row per sub-step from the block edges — it
     never reaches the owned rows because pad >= K (the classic overlapped
     ghost-trapezoid scheme).  Runtime flags make the program SPMD-uniform
@@ -1615,20 +1616,20 @@ def _ghost_temporal_kernel(
           pad+yl-1: the wall fixup applies at tile (pad+yl)/ty - 1 only
           on this shard; above it the ghost rows are ring-wrapped garbage.
       flags[2] (j_seam)    the tile index whose cy=+1 prev-row pull is
-          replaced by the injected seam: (pad + band - y0) // ty.
-      flags[3] (n_band_tiles)  number of OWNED tiles that are band rows,
-          clip(band - y0, 0, yl) // ty: the flux skips those tiles (the
-          band kernel integrates them with the force correction).
-      flags[4] (flux_lane)  LOCAL lane of the reference's flux column
+          replaced by the injected seam: (pad + clip(band-y0, 0, yl))
+          // ty.  Doubles as the first flux-counted tile: the tiles
+          below it are band rows whose flux the band kernel integrates
+          (with the force correction).
+      flags[3] (flux_lane)  LOCAL lane of the reference's flux column
           x = XDIM-5 (ImmersedBoundary.cu:259-264) within this block's
           width — runtime because an x-sharded block holds a different
           window of the global lanes per shard.
-      flags[5] (flux_owned)  1 iff the flux column lies in this shard's
+      flags[4] (flux_owned)  1 iff the flux column lies in this shard's
           OWNED lanes; other shards contribute zero to the psum.
 
       A shard entirely below the band (y0+yl <= band) has inject=0 and
-      n_band_tiles=yl/ty: all its owned rows are garbage here and are
-      replaced by the band kernel's output outside.  A shard entirely
+      j_seam=(pad+yl)/ty: all its owned rows are garbage here (no flux
+      counted), replaced by the band kernel's output outside.  A shard entirely
       above (y0 >= band+pad — the y0-band gap is a multiple of pad by
       the yl/band alignment requirements) sees only valid bulk ghosts.
 
@@ -1660,8 +1661,8 @@ def _ghost_temporal_kernel(
     is_top_shard = flags[1] == 1
     j_seam = flags[2]                # tile whose cy=+1 prev is the seam;
     jlo_flux = j_seam                # == first owned non-band tile
-    flux_lane = flags[4]             # local lane of the flux column
-    flux_owned = flags[5] == 1
+    flux_lane = flags[3]             # local lane of the flux column
+    flux_owned = flags[4] == 1
 
     colmask = (jax.lax.broadcasted_iota(jnp.int32, (1, xdim), 1)
                == flux_lane).astype(cdt)
@@ -1822,7 +1823,7 @@ def make_ghost_temporal_substep(cfg, yl: int, n_steps: int,
         substep(flags, f_loc, bot_ghost, top_ghost, bhalos)
             -> (f_block_new [9, yl + 2*pad, W], flux [K])
 
-    flags = int32 [inject, is_top, j_seam, n_band_tiles, flux_lane,
+    flags = int32 [inject, is_top, j_seam, flux_lane,
     flux_owned] (see the kernel docstring); bot/top_ghost are [9, pad, W]
     row blocks ppermuted from the y-neighbours (pad == 16); bhalos is the
     band leg's per-sub-step seam output (used only when inject).  The

@@ -721,8 +721,9 @@ class ShardedTemporalSim(ShardedPallasSim):
 
     Scale-out analogue of the temporal mode of models/mucociliary (the
     reference, LatticeBoltzmann.cu:30-411 + ImmersedBoundary.cu:138-264,
-    has no multi-GPU path at all).  Restrictions: >= 2 shards, yl a
-    multiple of 16, xl a lane multiple on TPU.  The force band may span
+    has no multi-GPU path at all).  Restrictions: >= 2 shards, yl >= the
+    16-row ghost pad and 16/8-row-tileable, xl a lane multiple on TPU.
+    The force band may span
     shard boundaries (yl < force_band + pad — e.g. the reference's own
     ydim=192 under (2,1) slicing): the band block is then assembled by a
     masked psum each super-step, every shard runs the band kernel on the
@@ -780,12 +781,22 @@ class ShardedTemporalSim(ShardedPallasSim):
             raise ValueError(
                 f"x-sharded temporal blocking needs xl >= {self._xpad} "
                 f"(one-hop ghost-column exchange), got xl={self.xl}")
-        # rejects K > 16 and yl % 16 != 0
+        # rejects K > 16 and yl not 16/8-row-tileable
         self._ghost_substep = make_ghost_temporal_substep(
             cfg, self.yl, K, walls, self.dtype, forcing=forcing,
             storage=self.storage, interpret=interpret,
             width=self.xl + 2 * self._xpad)
         self._ghost_pad = self._ghost_substep.pad
+        if self.yl < self._ghost_pad:
+            # the one-hop y-ghost exchange sends f_loc[:, yl-pad:, :] /
+            # f_loc[:, :pad, :] — a shard thinner than the pad cannot
+            # supply its neighbour's ghost block from its own rows (the
+            # slice silently shrinks and the kernel DMAs out of range)
+            raise ValueError(
+                f"sharded temporal blocking needs yl >= {self._ghost_pad} "
+                f"rows per y-shard (one-hop ghost-row exchange), got "
+                f"yl={self.yl}; use fewer y-shards or the per-step "
+                f"sharded path")
         # Band leg: the resident-band super-kernel when eligible and the
         # mesh is not x-sharded; otherwise the TILED per-sub-step leg (the
         # sharded fused kernel on band+pad rows x the shard's own columns
@@ -869,7 +880,6 @@ class ShardedTemporalSim(ShardedPallasSim):
             inject.astype(jnp.int32),
             (iy == n_y - 1).astype(jnp.int32),
             (pad + lb) // ty_g,
-            lb // ty_g,
             jnp.int32(cfg.flux_x),   # local == global lane (n_x == 1)
             jnp.int32(1),
         ]).astype(jnp.int32)
@@ -1056,7 +1066,6 @@ class ShardedTemporalSim(ShardedPallasSim):
             inject.astype(jnp.int32),
             (iy == n_y - 1).astype(jnp.int32),
             (pad + lb) // ty_g,
-            lb // ty_g,
             jnp.int32(xpad) + lane,
             col_owned.astype(jnp.int32),
         ]).astype(jnp.int32)

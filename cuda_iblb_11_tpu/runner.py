@@ -19,12 +19,14 @@ from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
 from cuda_iblb_11_tpu.utils.timing import ThroughputMeter, predict_completion, seconds
 
 
-def _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge="periodic"):
+def _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge="periodic",
+              pattern="no_mucus"):
     """Build the simulation: single-device MucociliarySim, or a sharded sim
     over a (Y, X) device mesh when `mesh` is given (e.g. "2,4")."""
     if not mesh:
         return MucociliarySim(cfg, backend=backend, forcing=forcing,
-                              temporal=temporal, ib_x_edge=ib_x_edge)
+                              temporal=temporal, ib_x_edge=ib_x_edge,
+                              pattern=pattern)
     import jax
 
     from cuda_iblb_11_tpu.parallel.sharded import (
@@ -49,20 +51,21 @@ def _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge="periodic"):
             try:
                 return ShardedTemporalSim(cfg, m, forcing=forcing,
                                           temporal=temporal,
-                                          ib_x_edge=ib_x_edge)
+                                          ib_x_edge=ib_x_edge,
+                                          pattern=pattern)
             except ValueError as e:
                 print(f"warning: --temporal {temporal} with --mesh {mesh} "
                       f"is not eligible for the K-step sharded path ({e}); "
                       f"falling back to the per-step sharded kernel",
                       file=sys.stderr)
         return ShardedPallasSim(cfg, m, forcing=forcing,
-                                ib_x_edge=ib_x_edge)
+                                ib_x_edge=ib_x_edge, pattern=pattern)
     if temporal > 1:
         print(f"warning: --temporal {temporal} requires the sharded pallas "
               f"path; the jnp sharded backend steps one iteration at a "
               f"time (temporal ignored)", file=sys.stderr)
     return ShardedMucociliarySim(cfg, m, forcing=forcing,
-                                 ib_x_edge=ib_x_edge)
+                                 ib_x_edge=ib_x_edge, pattern=pattern)
 
 
 def _select_device(cfg: SimConfig, mesh=None):
@@ -119,7 +122,7 @@ def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
         checkpoint_every: int = 0, quiet: bool = False,
         profile_dir: str | None = None, temporal: int = 1,
         mesh: str | None = None, ib_x_edge: str = "periodic",
-        checkpoint_format: str = "npz") -> dict:
+        checkpoint_format: str = "npz", pattern: str = "no_mucus") -> dict:
     """See _run_body; this wrapper applies the ShARC device-selection
     semantics (pin single-device runs to device 3 when cfg.sharc, the
     reference's cudaSetDevice behaviour at main.cu:395-396)."""
@@ -129,7 +132,7 @@ def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
         resume_from=resume_from, checkpoint_every=checkpoint_every,
         quiet=quiet, profile_dir=profile_dir, temporal=temporal, mesh=mesh,
         ib_x_edge=ib_x_edge, checkpoint_format=checkpoint_format,
-        device=device)
+        pattern=pattern, device=device)
     if device is not None:
         import jax
 
@@ -144,7 +147,8 @@ def _run_body(cfg: SimConfig, output_root: str = "Data/Test",
               checkpoint_every: int = 0, quiet: bool = False,
               profile_dir: str | None = None, temporal: int = 1,
               mesh: str | None = None, ib_x_edge: str = "periodic",
-              checkpoint_format: str = "npz", device=None) -> dict:
+              checkpoint_format: str = "npz", pattern: str = "no_mucus",
+              device=None) -> dict:
     """Execute cfg.iterations steps with interval outputs.
 
     profile_dir: if set, capture a jax.profiler trace of the first interval
@@ -156,7 +160,8 @@ def _run_body(cfg: SimConfig, output_root: str = "Data/Test",
     are directories).
     Returns a summary dict (runtime, MLUPS, final Q)."""
     cfg.validate()
-    sim = _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge)
+    sim = _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge,
+                    pattern)
     profiling = False
     if profile_dir:
         import jax
@@ -170,6 +175,8 @@ def _run_body(cfg: SimConfig, output_root: str = "Data/Test",
     simlog = SimLog(paths.simlog_path, cfg)
     extra = {"Backend": backend, "Forcing": forcing,
              "Dtype": str(sim.dtype)}
+    if pattern != "no_mucus":
+        extra["Pattern"] = pattern
     if mesh:
         extra["Mesh"] = mesh
     if device is not None:

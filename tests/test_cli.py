@@ -16,6 +16,22 @@ def test_cli_runs_and_writes_outputs(tmp_path):
     assert (tmp_path / "Raw" / "4" / "1" / "SimLog.txt").exists()
 
 
+def test_cli_mucus_pattern(tmp_path):
+    # --pattern mucus selects the A_mn/B_mn tables the reference keeps
+    # commented out (main.cu:36-54): must run end-to-end and produce a
+    # DIFFERENT flux than the default beat
+    args = ["1", "4", "48", "1.0", "1.0", "5", "0.002", "2", "0", "0",
+            "--quiet", "--dtype", "float64"]
+    assert main(args + ["--output", str(tmp_path / "nm")]) == 0
+    assert main(args + ["--output", str(tmp_path / "mu"),
+                        "--pattern", "mucus"]) == 0
+    a = (tmp_path / "nm" / "Flux" / "1_4_48_1_1x5-flux.dat").read_text()
+    b = (tmp_path / "mu" / "Flux" / "1_4_48_1_1x5-flux.dat").read_text()
+    assert a != b
+    log = (tmp_path / "mu" / "Raw" / "4" / "1" / "SimLog.txt").read_text()
+    assert "Pattern: mucus" in log
+
+
 def test_cli_mesh_flux_matches_single_device(tmp_path):
     # Multi-chip CLI (BASELINE config 5 wiring): an end-to-end --mesh 2,4
     # run on the 8-device CPU mesh must write a flux.dat identical to the

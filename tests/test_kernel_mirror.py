@@ -58,9 +58,9 @@ def test_ghost_kernel_bit_equals_temporal_kernel(K, ghost_ty):
                                         tile_y=ghost_ty)
     pad = ghost.pad
     nan_ghost = jnp.full((9, pad, CFG.xdim), jnp.nan, jnp.float64)
-    # [inject, is_top, j_seam, n_band_tiles, flux_lane, flux_owned]:
+    # [inject, is_top, j_seam, flux_lane, flux_owned]:
     # owns the whole band, the top wall, and the flux column
-    flags = jnp.array([1, 1, (pad + band) // ghost.ty, band // ghost.ty,
+    flags = jnp.array([1, 1, (pad + band) // ghost.ty,
                        CFG.flux_x, 1], jnp.int32)
     f_block, flux_ghost = ghost(flags, f_full, nan_ghost, nan_ghost, bhalos)
 

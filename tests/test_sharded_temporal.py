@@ -71,6 +71,22 @@ def test_sharded_temporal_rejects_bad_meshes():
 
 
 @needs_devices
+def test_sharded_temporal_rejects_thin_y_shards(monkeypatch):
+    # yl < the 16-row ghost pad: the one-hop ghost-row exchange cannot
+    # supply a full pad block from a thinner shard (the edge slice
+    # silently shrinks and the kernel DMAs out of range — silently-wrong
+    # physics if allowed through).  On real pods this arises from e.g.
+    # ydim=192 over 24 y-shards; with the 8-device CI mesh the band is
+    # shrunk so yl=8 becomes reachable.
+    cfg = SimConfig(c_num=4, c_space=48, ydim=64, dtype="float64",
+                    storage="raw")
+    monkeypatch.setattr(type(cfg), "force_band",
+                        property(lambda self: 40))
+    with pytest.raises(ValueError, match="yl >= 16"):
+        ShardedTemporalSim(cfg, make_mesh(8, 1), temporal=4)
+
+
+@needs_devices
 @pytest.mark.parametrize("ydim,n_y", [(192, 2), (256, 2), (384, 4)])
 def test_sharded_temporal_band_spanning_shards(ydim, n_y):
     # yl < force_band + pad: the band spans shard boundaries (includes
