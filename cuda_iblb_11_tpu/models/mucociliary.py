@@ -365,9 +365,13 @@ class MucociliarySim:
                                        factors=factors).astype(force.dtype)
             # band rows only: the pad/ghost rows' flux comes from the bulk
             flux_band = flux_band + ib.flux_from_cols(
-                fluxcol[:, :band], force, cfg.flux_x)
+                fluxcol[:, :band], force, cfg.flux_x, ydim_divisor=192.0)
             bhalos.append(bhalo)
         f_bulk, flux_bulk = self._bulk_substep(f_bulk, jnp.stack(bhalos))
+        # NOTE asymmetric normalization: flux_band is already /192 (inside
+        # flux_from_cols, per sub-step) while the bulk kernel's flux is
+        # raw and divided here — the fused sibling
+        # (_temporal_super_step_fused) divides both raw sums in one place.
         q = q + flux_band + jnp.sum(flux_bulk) / 192.0
         return band_ext[:, :band], f_bulk, force, q
 

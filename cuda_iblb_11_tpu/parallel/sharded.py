@@ -147,7 +147,11 @@ class ShardedMucociliarySim:
         self.forcing = forcing
         self.storage = cfg.storage_resolved
         self.dtype = jnp.dtype(dtype or cfg.dtype)
-        self.cilia = CiliaModel(cfg, dtype=self.dtype, pattern=pattern)
+        # boundary/IB quantities stay >= f32 even with bf16 fluid storage
+        # (same invariant as MucociliarySim.aux_dtype: bf16 point positions
+        # would put the 3x3 stencils tens of cells off at 8192-wide grids)
+        self.aux_dtype = jnp.promote_types(self.dtype, jnp.float32)
+        self.cilia = CiliaModel(cfg, dtype=self.aux_dtype, pattern=pattern)
         self.n_y, self.n_x = mesh.devices.shape
         if cfg.ydim % self.n_y or cfg.xdim % self.n_x:
             raise ValueError("grid dims must divide the mesh dims")
@@ -155,18 +159,9 @@ class ShardedMucociliarySim:
         self.xl = cfg.xdim // self.n_x
         self._chunk_cache = {}
         self._local_step = self._step_local
-
-        self._step_sharded = jax.jit(
-            jax.shard_map(
-                self._step_local,
-                mesh=mesh,
-                in_specs=(P(None, "y", "x"), P(None, "y", "x"), P(), P(),
-                          P()),
-                out_specs=(P(None, "y", "x"), P(None, "y", "x"), P(), P(),
-                           P()),
-            ),
-            donate_argnums=(0, 1),
-        )
+        # the jitted one-step shard_map is built lazily from _chunk_specs()
+        # and _local_step, AFTER a subclass ctor has swapped those in
+        self._step_sharded = None
 
     # -- sharding helpers ---------------------------------------------------
 
@@ -200,59 +195,46 @@ class ShardedMucociliarySim:
         s, u_s, eps, lasts_new = self.cilia.boundary_state(it, lasts)
         lasts_new = lasts_new.astype(lasts.dtype)
 
+        # compute in >= f32 even with bf16 fluid storage (mirrors the
+        # single-chip jnp backend), then cast back for the carry
         f_new = _local_lb_substep(
-            f_loc, force_loc, cfg.tau, cfg.tau2, self.walls, self.forcing,
-            is_bottom, is_top, self.storage)
+            f_loc.astype(self.aux_dtype), force_loc.astype(self.aux_dtype),
+            cfg.tau, cfg.tau2, self.walls, self.forcing,
+            is_bottom, is_top, self.storage).astype(f_loc.dtype)
 
         # --- IB interpolation: ownership-masked local gather + psum ------
-        xw, yc, w, valid = ib._stencil(
-            s, cfg.xdim, cfg.ydim, ib._alias_mode(self.ib_x_edge, "interp"))
-        w = jnp.where(valid, w, 0.0)                       # [Ns, 9]
-        own = ((yc >= y0) & (yc < y0 + self.yl)
-               & (xw >= x0) & (xw < x0 + self.xl))
-        yloc = jnp.clip(yc - y0, 0, self.yl - 1)
-        xloc = jnp.clip(xw - x0, 0, self.xl - 1)
-        f_cells = f_new[:, yloc, xloc]                     # [9, Ns, 9]
-        rho_c = jnp.sum(f_cells, axis=0)
-        if self.storage == "deviatoric":
-            rho_c = 1.0 + rho_c
-        c = jnp.asarray(C, f_new.dtype)
-        mom = jnp.einsum("inm,ic->cnm", f_cells, c,
-                 precision=jax.lax.Precision.HIGH)
-        u_c = mom / rho_c[None]
-        diff = u_s.T[:, :, None] - u_c                     # [2, Ns, 9]
-        wm = jnp.where(own, w, 0.0)
-        f_s = jnp.sum(2.0 * wm[None] * rho_c[None] * diff, axis=-1).T
+        f_s = _stencil_interp_block(
+            f_new, s, u_s, cfg, y0, self.yl, x0, self.xl, self.storage,
+            mode=ib._alias_mode(self.ib_x_edge, "interp"))
         f_s = jax.lax.psum(jax.lax.psum(f_s, "x"), "y")    # [Ns, 2]
 
         # --- IB spreading into the local block ---------------------------
-        if self.ib_x_edge == "periodic":
-            # interp and spread share the wrapped stencil
-            ws_w, ws_yloc, ws_xloc = wm, yloc, xloc
-        else:
-            # quirk mode: spread DROPS the periodic images while interp
-            # row-aliases — two different stencils (ops/ib.py)
-            xw2, yc2, w2, valid2 = ib._stencil(
-                s, cfg.xdim, cfg.ydim,
-                ib._alias_mode(self.ib_x_edge, "spread"))
-            own2 = ((yc2 >= y0) & (yc2 < y0 + self.yl)
-                    & (xw2 >= x0) & (xw2 < x0 + self.xl))
-            ws_w = jnp.where(valid2 & own2, w2, 0.0)
-            ws_yloc = jnp.clip(yc2 - y0, 0, self.yl - 1)
-            ws_xloc = jnp.clip(xw2 - x0, 0, self.xl - 1)
-        ws = ws_w * eps[:, None].astype(w.dtype)
+        # periodic: interp and spread share the wrapped stencil; quirk
+        # mode: spread DROPS the periodic images while interp row-aliases
+        # — two different stencils (ops/ib.py)
+        xw2, yc2, w2, valid2 = ib._stencil(
+            s, cfg.xdim, cfg.ydim,
+            ib._alias_mode(self.ib_x_edge, "spread"))
+        own2 = ((yc2 >= y0) & (yc2 < y0 + self.yl)
+                & (xw2 >= x0) & (xw2 < x0 + self.xl))
+        ws_w = jnp.where(valid2 & own2, w2, 0.0)
+        ws_yloc = jnp.clip(yc2 - y0, 0, self.yl - 1)
+        ws_xloc = jnp.clip(xw2 - x0, 0, self.xl - 1)
+        ws = ws_w * eps[:, None].astype(ws_w.dtype)
         flat = (ws_yloc * self.xl + ws_xloc).reshape(-1)
         vals = (f_s.T[:, :, None] * ws[None]).reshape(2, -1)
-        force_new = jnp.zeros((2, self.yl * self.xl), f_new.dtype)
-        force_new = force_new.at[:, flat].add(vals).reshape(
-            2, self.yl, self.xl)
+        # force stays at the carry's (>= f32) dtype under bf16 f storage
+        force_new = jnp.zeros((2, self.yl * self.xl), force_loc.dtype)
+        force_new = force_new.at[:, flat].add(
+            vals.astype(force_loc.dtype)).reshape(2, self.yl, self.xl)
 
         # --- flux: masked column sum + psum (cumulative Q) ---------------
         fx = cfg.flux_x
         col_owned = (fx >= x0) & (fx < x0 + self.xl)
         xf = jnp.clip(fx - x0, 0, self.xl - 1)
-        cx = jnp.asarray(C[:, 0], f_new.dtype)
-        col_f = f_new[:, :, xf]
+        cdt = jnp.promote_types(f_new.dtype, jnp.float32)
+        cx = jnp.asarray(C[:, 0], cdt)
+        col_f = f_new[:, :, xf].astype(cdt)
         rho_col = jnp.sum(col_f, axis=0)
         if self.storage == "deviatoric":
             rho_col = 1.0 + rho_col
@@ -267,6 +249,19 @@ class ShardedMucociliarySim:
     # -- public API -----------------------------------------------------------
 
     def step(self, state: FlowState) -> FlowState:
+        if self._step_sharded is None:
+            self._step_sharded = jax.jit(
+                jax.shard_map(
+                    self._local_step,
+                    mesh=self.mesh,
+                    in_specs=self._chunk_specs(),
+                    out_specs=self._chunk_specs(),
+                    # pallas_call outputs carry no varying-mesh-axes
+                    # metadata
+                    check_vma=False,
+                ),
+                donate_argnums=(0, 1),
+            )
         f, force, lasts, q, it = self._step_sharded(
             state.f, state.force, state.lasts, state.q, state.it)
         return FlowState(f=f, force=force, lasts=lasts, q=q, it=it)
@@ -306,12 +301,12 @@ class ShardedMucociliarySim:
                                       self.storage)
 
     def boundary_fields(self, state: FlowState):
-        """(s, u_s, eps) of the last completed step, for cilia snapshots."""
-        it_prev = state.it - 1
-        pos = self.cilia.positions(it_prev)
-        pos_before = self.cilia.positions(jnp.maximum(it_prev - 1, 0))
-        vel = jnp.where(it_prev > 0, pos - pos_before, jnp.zeros_like(pos))
-        return self.cilia.place_and_mask(pos, vel)
+        """(s, u_s, eps) of the last completed step, for cilia snapshots —
+        identical semantics to the single-chip snapshot path, so delegate
+        (the kinematics are replicated; only self.cilia is touched)."""
+        from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
+
+        return MucociliarySim.boundary_fields(self, state)
 
     def _make_chunk(self, n_steps: int):
         """One shard_map whose body runs n_steps iterations in a local
@@ -341,8 +336,26 @@ class ShardedMucociliarySim:
     def _chunk_specs(self):
         return (P(None, "y", "x"), P(None, "y", "x"), P(), P(), P())
 
+    # Keep the replicated per-step boundary series of one compiled chunk
+    # below ~32 MB (mirrors MucociliarySim._MAX_SCAN: a whole multi-
+    # thousand-step output interval in one chunk would materialize
+    # [n, c_num, 96, 2]-and-friends xs arrays on EVERY device).
+    _MAX_SCAN = 512
+
     def run_chunk(self, state: FlowState, n_steps: int) -> FlowState:
-        """n_steps iterations in one compiled sharded loop."""
+        """n_steps iterations in compiled sharded loops (split at
+        _MAX_SCAN; splits are aligned to the temporal super-step K so
+        the fast path is preserved)."""
+        K = getattr(self, "temporal", 1)
+        while n_steps > 0:
+            k = min(n_steps, self._MAX_SCAN)
+            if K > 1 and k >= K:
+                k -= k % K
+            state = self._run_chunk_once(state, k)
+            n_steps -= k
+        return state
+
+    def _run_chunk_once(self, state: FlowState, n_steps: int) -> FlowState:
         fn = self._chunk_cache.get(n_steps)
         if fn is None:
             fn = self._make_chunk(n_steps)
@@ -362,32 +375,36 @@ def _collide_rows(f_rows, force_rows, tau, tau2, forcing, storage):
     return ref.collide_rows(f_rows, force_rows, tau, tau2, forcing, storage)
 
 
-def _quirk_interp_block(f_block, s, u_s, cfg, y0, rows, x0, xl, storage):
-    """PARTIAL strict-parity ('reference_alias', ops/ib.py) IB
-    interpolation over a local block [9, rows, xl] holding global rows
-    [y0, y0+rows) x columns [x0, x0+xl): the quirk stencil is evaluated
-    globally, cells not owned by this block contribute zero, and the
-    caller psums the result over exactly the mesh axes that partition
-    ownership (both for per-shard blocks; 'x' only for the y-replicated
-    band block of the temporal tiled leg).  Matches ops/ib.
-    interpolate_from_f(..., x_edge="reference") up to the psum
-    re-association."""
-    xw, yc, w, valid = ib._stencil(s, cfg.xdim, cfg.ydim, "reference_alias")
+def _stencil_interp_block(f_block, s, u_s, cfg, y0, rows, x0, xl, storage,
+                          mode="reference_alias"):
+    """PARTIAL stencil-form IB interpolation over a local block
+    [9, rows, xl] holding global rows [y0, y0+rows) x columns
+    [x0, x0+xl): the stencil (`mode`: "periodic" or the strict-parity
+    "reference_alias" quirk, ops/ib.py) is evaluated globally, cells not
+    owned by this block contribute zero, and the caller psums the result
+    over exactly the mesh axes that partition ownership (both for
+    per-shard blocks; 'x' only for the y-replicated band block of the
+    temporal tiled leg).  Matches ops/ib.interpolate_from_f up to the
+    psum re-association.  The gather is promoted to >= f32 (bf16 storage
+    must not quantize the stiff IB feedback — same invariant as
+    ops/ib_band.band_moments)."""
+    cdt = jnp.promote_types(f_block.dtype, jnp.float32)
+    xw, yc, w, valid = ib._stencil(s, cfg.xdim, cfg.ydim, mode)
     w = jnp.where(valid, w, 0.0)
     own = ((yc >= y0) & (yc < y0 + rows)
            & (xw >= x0) & (xw < x0 + xl))
     yloc = jnp.clip(yc - y0, 0, rows - 1)
     xloc = jnp.clip(xw - x0, 0, xl - 1)
-    f_cells = f_block[:, yloc, xloc]                   # [9, Ns, 9cells]
+    f_cells = f_block[:, yloc, xloc].astype(cdt)       # [9, Ns, 9cells]
     rho_c = jnp.sum(f_cells, axis=0)
     if storage == "deviatoric":
         rho_c = 1.0 + rho_c
-    c = jnp.asarray(C, f_block.dtype)
+    c = jnp.asarray(C, cdt)
     mom = jnp.einsum("inm,ic->cnm", f_cells, c,
                      precision=jax.lax.Precision.HIGH)
     u_c = mom / rho_c[None]
-    diff = u_s.T[:, :, None] - u_c                     # [2, Ns, 9cells]
-    wm = jnp.where(own, w, 0.0)
+    diff = u_s.astype(cdt).T[:, :, None] - u_c         # [2, Ns, 9cells]
+    wm = jnp.where(own, w, 0.0).astype(cdt)
     return jnp.sum(2.0 * wm[None] * rho_c[None] * diff, axis=-1).T
 
 
@@ -456,20 +473,9 @@ class ShardedPallasSim(_ShardedPallasChunkMixin, ShardedMucociliarySim):
         self._local_substep = make_sharded_fused_substep(
             cfg, self.yl, walls, self.dtype, forcing=forcing,
             storage=self.storage, interpret=interpret, xl=self.xl)
+        # step() builds the jitted shard_map lazily from these:
         self._local_step = self._step_local_pallas
         self._chunk_cache = {}
-        # rebuild the sharded step with the pallas local path
-        self._step_sharded = jax.jit(
-            jax.shard_map(
-                self._step_local_pallas,
-                mesh=mesh,
-                in_specs=self._chunk_specs(),
-                out_specs=self._chunk_specs(),
-                # pallas_call outputs carry no varying-mesh-axes metadata
-                check_vma=False,
-            ),
-            donate_argnums=(0, 1),
-        )
 
     def init_state(self) -> FlowState:
         st = initial_state(self.cfg, self.dtype)  # band force, f by storage
@@ -598,7 +604,7 @@ class ShardedPallasSim(_ShardedPallasChunkMixin, ShardedMucociliarySim):
         if self.ib_x_edge == "reference":
             # strict-parity quirk stencils (ownership-masked; each stencil
             # cell is owned by exactly one shard, so the psum is exact)
-            f_s = _quirk_interp_block(
+            f_s = _stencil_interp_block(
                 f_new, s_pts, u_s, cfg, y0, yl, x0, xl, self.storage)
             f_s = jax.lax.psum(jax.lax.psum(f_s, "x"), "y")
             force_new = _quirk_spread_block(f_s, s_pts, eps, cfg, x0, xl,
@@ -1024,7 +1030,7 @@ class ShardedTemporalSim(ShardedPallasSim):
                 # rows (same argument as the single-chip temporal quirk
                 # leg, models/mucociliary.py); x-ownership masking + a
                 # psum('x') ONLY (the y-shards hold identical blocks)
-                f_s = _quirk_interp_block(
+                f_s = _stencil_interp_block(
                     blk, s_pts[s], u_s[s], cfg, 0, ext, x0, xl,
                     self.storage)
                 f_s = jax.lax.psum(f_s, "x")

@@ -153,7 +153,10 @@ def test_sharded_temporal_bf16_runs_finite():
     cfgb = CFG2.replace(dtype="bfloat16", storage="auto")
     st_ref = _oracle(CFG2, 8)
     sim = ShardedTemporalSim(cfgb, make_mesh(2, 1), temporal=4)
+    # the boundary/IB side must stay f32 under bf16 fluid storage
+    assert sim.cilia.dtype == jnp.float32
     st = sim.run_chunk(sim.init_state(), 8)
+    assert st.force.dtype == jnp.float32
     assert np.isfinite(np.asarray(st.f, np.float32)).all()
     assert abs(float(st.q) - float(st_ref.q)) < 1e-3
 

@@ -198,6 +198,24 @@ def test_sharded_quirk_x_edge_matches_single_device():
 
 
 @needs_8_devices
+def test_sharded_bf16_keeps_f32_boundary_and_force():
+    # bf16 fluid storage must NOT quantize the IB boundary data or the
+    # carried force field (same invariant as MucociliarySim.aux_dtype);
+    # the jnp sharded chunk path used to allocate a bf16 force inside the
+    # fori_loop body (carry dtype mismatch) and built the cilia model at
+    # the storage dtype (bf16 point positions are tens of cells off at
+    # wide grids)
+    import jax.numpy as jnp
+
+    cfgb = SimConfig(c_num=4, c_space=48, dtype="bfloat16")
+    sim = ShardedMucociliarySim(cfgb, make_mesh(2, 2))
+    assert sim.cilia.dtype == jnp.float32
+    st = sim.run_chunk(sim.init_state(), 3)
+    assert st.force.dtype == jnp.float32
+    assert np.isfinite(np.asarray(st.f, np.float32)).all()
+
+
+@needs_8_devices
 @pytest.mark.parametrize("n_y,n_x", [(2, 1), (2, 2)])
 def test_sharded_pallas_quirk_x_edge(n_y, n_x):
     # the strict-parity quirk through the sharded PALLAS path (ownership-
