@@ -161,9 +161,29 @@ def load_orbax(path: str, cfg: SimConfig | None = None,
                                         sharding=shardings[k])
                 for k, v in abstract.items()
             }
-            restored = ckptr.restore(
-                path, args=ocp.args.Composite(
-                    state=ocp.args.StandardRestore(target)))
+            try:
+                restored = ckptr.restore(
+                    path, args=ocp.args.Composite(
+                        state=ocp.args.StandardRestore(target)))
+            except Exception:  # noqa: BLE001 — orbax's mismatch error type
+                # Force-layout mismatch between the SAVING sim and this
+                # one: the force is band-only [2, band, X] for the
+                # single-device/pallas layouts but full [2, Y, X] for the
+                # jnp sharded layout.  Retry with the alternate saved
+                # shape (replicated), then adapt onto this sim's layout.
+                band = saved_cfg.force_band
+                cur = target["force"].shape[1]
+                alt = saved_cfg.ydim if cur == band else band
+                target["force"] = jax.ShapeDtypeStruct(
+                    (2, alt, saved_cfg.xdim), abstract["force"].dtype,
+                    sharding=sim.replicated())
+                restored = ckptr.restore(
+                    path, args=ocp.args.Composite(
+                        state=ocp.args.StandardRestore(target)))
+                st = dict(restored["state"])
+                st["force"] = jax.device_put(
+                    sim._force_shape(st["force"]), sim._force_sharding())
+                restored = {"state": st}
         else:
             restored = ckptr.restore(
                 path, args=ocp.args.Composite(

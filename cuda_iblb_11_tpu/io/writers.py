@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from cuda_iblb_11_tpu.core.config import SimConfig
+from cuda_iblb_11_tpu.core.config import L_0, T_0, SimConfig
 
 
 def fmt(x: float) -> str:
@@ -102,9 +102,14 @@ class FluxWriter:
 
 
 def write_fluid_snapshot(path: str, cfg: SimConfig, rho, u):
-    """<it>-fluid.dat (main.cu:954-971).  rho [Y,X], u [2,Y,X]."""
-    rho = np.asarray(rho)
-    u = np.asarray(u)
+    """<it>-fluid.dat (main.cu:954-971).  rho [Y,X], u [2,Y,X].
+
+    Inputs are upcast to f64 BEFORE scaling so f32 sim fields format to
+    the same bytes as the native writer (iblb_io.cpp) and the reference's
+    double ofstream — scaling/sqrt in f32 flips the 6th significant digit
+    on ~4% of lines."""
+    rho = np.asarray(rho, np.float64)
+    u = np.asarray(u, np.float64)
     xs, ss = cfg.x_scale, cfg.s_scale
     ydim, xdim = rho.shape
     ab = np.sqrt(u[0] ** 2 + u[1] ** 2)
@@ -121,8 +126,8 @@ def write_fluid_snapshot(path: str, cfg: SimConfig, rho, u):
 
 def write_cilia_snapshot(path: str, cfg: SimConfig, s, u_s, eps):
     """<it>-cilia.dat (main.cu:984-994).  s,u_s [Ns,2], eps [Ns]."""
-    s = np.asarray(s)
-    u_s = np.asarray(u_s)
+    s = np.asarray(s, np.float64)    # f64 before scaling (see fluid writer)
+    u_s = np.asarray(u_s, np.float64)
     eps = np.asarray(eps)
     xs, ss = cfg.x_scale, cfg.s_scale
     with open(path, "w") as fh:
@@ -155,8 +160,8 @@ class SimLog:
             fh.write(f"Iterations: {c.iterations}\n")
             fh.write(f"Reynolds Number: {fmt(c.re)}\n")
             fh.write(f"Relaxation times: {fmt(c.tau)}, {fmt(c.tau2)}\n")
-            fh.write(f"Spatial step: {fmt(c.dx * 6e-06)}m\n")
-            fh.write(f"Time step: {fmt(c.dt * 0.067)}s\n")
+            fh.write(f"Spatial step: {fmt(c.dx * L_0)}m\n")
+            fh.write(f"Time step: {fmt(c.dt * T_0)}s\n")
             fh.write(f"Mach number: {fmt(c.mach)}\n")
             fh.write(f"Phase Step: {c.c_fraction}/{c.c_num}\n")
             fh.write("\nBig Data is ON\n" if c.bigdata

@@ -123,12 +123,11 @@ class CiliaModel:
         # via the scoped jax.enable_x64 context so the f32 fluid kernels
         # are unaffected by the global x64 flag.
         self.hp = jnp.dtype(jnp.float64)
-        import jax as _jax
 
         a_mn, b_mn = PATTERNS[pattern]
         arcl = node_arclengths(cfg.length)  # [nodes]
         powers = arcl[:, None] ** np.array([1.0, 2.0, 3.0])[None, :]  # [nodes,3]
-        with _jax.enable_x64(True):
+        with jax.enable_x64(True):
             # a_pre[j, n, coord] = sum_p A[p, coord, n] * arcl_j^(p+1)
             self.a_pre = jnp.asarray(
                 np.einsum("jp,pcn->jnc", powers, a_mn), self.hp)
@@ -150,9 +149,8 @@ class CiliaModel:
         """Node positions in the beat frame (x includes the base offset),
         shape [c_num, nodes, 2], in the high-precision dtype.  `it` may be
         traced (int32)."""
-        import jax as _jax
 
-        with _jax.enable_x64(True):
+        with jax.enable_x64(True):
             return self._positions_x64(it)
 
     def _positions_x64(self, it):
@@ -189,9 +187,8 @@ class CiliaModel:
         cancellation (the reference, computing in CUDA float, has exactly
         that noise; main.cu:147-155).  Algebraically identical: the offset
         and n=0 terms cancel in the difference."""
-        import jax as _jax
 
-        with _jax.enable_x64(True):
+        with jax.enable_x64(True):
             return self._velocities_x64(it)
 
     def _velocities_x64(self, it):

@@ -438,8 +438,12 @@ class MucociliarySim:
     def boundary_fields(self, state: FlowState):
         """(s, u_s, eps) as of the LAST COMPLETED step, for cilia snapshots.
         state.it is the next step index, so re-evaluate at it-1 using the
-        positions stored in ``lasts`` (which are exactly step it-1's)."""
-        it_prev = state.it - 1
+        positions stored in ``lasts`` (which are exactly step it-1's).
+        Clamped at the it=0 boundary (nothing has run yet): emit the
+        phase-0 placement with zero velocity — the reference's
+        0-cilia.dat after define_filament(it=0) — not the wrapped
+        phase T-1 that (it-1) % T would select."""
+        it_prev = jnp.maximum(state.it - 1, 0)
         pos = self.cilia.positions(it_prev)
         # velocity at it_prev: pos(it_prev) - pos(it_prev - 1), zero at it=0
         pos_before = self.cilia.positions(jnp.maximum(it_prev - 1, 0))

@@ -471,9 +471,8 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
     if ydim % 8:
         raise ValueError("pallas backend requires ydim % 8 == 0")
     if interpret is None:
-        _on_tpu = jax.default_backend() == "tpu"
-    else:
-        _on_tpu = not interpret
+        interpret = jax.default_backend() != "tpu"
+    _on_tpu = not interpret
     if _on_tpu and xdim % 128:
         # Mosaic lane rolls need a 128-multiple X; pick e.g. c_num*c_space
         # in {384, 512, ...} or use the jnp backend.
@@ -489,6 +488,11 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
         raise ValueError("bf16 storage requires deviatoric mode")
     ty = tile_y or _pick_tile(ydim, xdim, dtype.itemsize, pipeline)
     if dtype.itemsize == 2 and ty % 16:
+        if tile_y:
+            # an explicit override must not be silently rewritten
+            raise ValueError(
+                f"tile_y={tile_y} is not a 16-row multiple (bf16 packed "
+                f"(16, 128) tiling)")
         ty = max(16, ty - ty % 16)
     if ydim % ty:
         raise ValueError(f"ydim {ydim} not divisible by tile {ty}")
@@ -496,8 +500,6 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
     band = cfg.force_band
     if band % ty:
         raise ValueError(f"force band {band} not divisible by tile {ty}")
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
 
     common = dict(
         ydim=ydim, xdim=xdim, ty=ty,
@@ -521,7 +523,6 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
         out_specs = pl.BlockSpec(
             (9, ty, xdim), lambda i: (0, jnp.maximum(i - 1, 0), 0),
             memory_space=pltpu.VMEM)
-        out_shape = out_shape
         if emit_moments:
             out_specs = [
                 out_specs,
@@ -616,8 +617,15 @@ def pick_band_leg_tile(cfg, n_steps: int, dtype, xdim: int | None = None):
     align = 16 if dtype.itemsize == 2 else 8
     cands = [t for t in (64, 32, 16, 8)
              if t <= ty_max and band % t == 0 and t % align == 0]
-    ty0 = min(cands or [ty_max],
-              key=lambda t: (band + -(-K // t) * t, -t))
+    if not cands:
+        # only reachable with bf16 (align=16) and a band that is 8 mod 16
+        # — a clean rejection, not a fallback that violates the
+        # divisibility/alignment constraints the filter encodes
+        raise ValueError(
+            f"no band-leg tile fits: force band {band} has no "
+            f"{align}-row-aligned divisor tile <= {ty_max} "
+            f"(dtype {dtype})")
+    ty0 = min(cands, key=lambda t: (band + -(-K // t) * t, -t))
     return ty0, -(-K // ty0) * ty0
 
 
@@ -883,12 +891,9 @@ def _temporal_kernel(
         return planes
 
     def add_flux(s, rho, mom_x):
-        ux_col = colsum(mom_x) / colsum_rho(rho)
+        ux_col = colsum(mom_x) / colsum(rho)
         flux_ref[s] = flux_ref[s] + jnp.sum(ux_col).astype(
             jnp.float32) * onehot
-
-    def colsum_rho(rho):
-        return colsum(rho)
 
     # --- stage 0: collide sub-step 1 of tile i ---------------------------
     @pl.when(i <= n_tiles - 1)
@@ -1225,11 +1230,15 @@ def _band_super_kernel(
     if flux_lane is None:
         flux_out[0] = jnp.zeros((8, 128), flux_out.dtype)
     else:
-        bs = (flux_lane // 128) * 128
-        lmask = (jax.lax.broadcasted_iota(jnp.int32, (band, 128), 1)
+        # right-edge clamp mirrors _temporal_kernel/_pipelined_kernel:
+        # interpret-mode block widths need not be 128-multiples
+        w_blk = mom_x.shape[1]
+        bw = min(128, w_blk)
+        bs = min((flux_lane // bw) * bw, w_blk - bw)
+        lmask = (jax.lax.broadcasted_iota(jnp.int32, (band, bw), 1)
                  == (flux_lane - bs)).astype(cdt)
-        ux_b = ((mom_x[:, bs:bs + 128] + 0.5 * fosc[0, :, bs:bs + 128])
-                / rho[:, bs:bs + 128])
+        ux_b = ((mom_x[:, bs:bs + bw] + 0.5 * fosc[0, :, bs:bs + bw])
+                / rho[:, bs:bs + bw])
         onehot = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
                    + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1))
                   == 0).astype(cdt)
@@ -1558,14 +1567,19 @@ def make_band_super_substep_tiled(cfg, pad: int, n_steps: int,
     def substep(f_ext, force, u_s, eps, axl, fx, ay, fy):
         fb, bh, fo = [], [], []
         flux = None
+        # periodic pad ONCE per super-step; each tile is then a static
+        # slice (a per-tile jnp.roll would materialize n_tiles full-width
+        # copies of the band block)
+        def padx(a):
+            return jnp.concatenate(
+                [a[..., xdim - gx:], a, a[..., :gx]], axis=-1)
+
+        f_pad = padx(f_ext.astype(cdt))
+        fo_pad = padx(force.astype(cdt))
         for t in range(n_tiles):
-            shift = gx - t * tx
-
-            def ext(a):
-                return jnp.roll(a, shift, axis=-1)[..., :txe]
-
+            lo = t * tx
             out = (call_flux if t == t_flux else call_plain)(
-                ext(f_ext).astype(cdt), ext(force).astype(cdt),
+                f_pad[..., lo:lo + txe], fo_pad[..., lo:lo + txe],
                 u_s[:, :, idx[t], :].astype(cdt),
                 eps[:, idx[t], :].astype(cdt),
                 axl[:, idx[t], :].astype(jnp.int32),
@@ -1988,8 +2002,19 @@ def make_sharded_fused_substep(cfg, yl: int, walls: WallSpec = REFERENCE_WALLS,
     dtype = jnp.dtype(dtype)
     cdt = jnp.dtype(jnp.float32) if dtype.itemsize < 4 else dtype
     align = 16 if dtype.itemsize == 2 else 8
+    if dtype.itemsize == 2 and storage != "deviatoric":
+        # same guard as make_fused_substep: raw bf16 cannot represent the
+        # near-w_i distributions usefully
+        raise ValueError("bf16 storage requires deviatoric mode")
     ty = tile_y or _pick_tile(yl, xdim, dtype.itemsize, True)
     ty = min(ty, yl)
+    if ty % align:
+        # align is the pl.multiple_of hint handed to Mosaic for the tile
+        # row offsets; an 8-row tile under bf16's (16, 128) packed tiling
+        # would assert a false 16-row alignment on odd tiles
+        raise ValueError(
+            f"tile {ty} is not a multiple of the {align}-row alignment "
+            f"({dtype} packed tiling); pick yl/tile_y accordingly")
     if yl % ty:
         raise ValueError(f"local rows {yl} not divisible by tile {ty}")
     band = cfg.force_band

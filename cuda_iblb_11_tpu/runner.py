@@ -98,9 +98,15 @@ def _resume_flux_rows(flux_path: str, cfg: SimConfig, it0: int,
     resumed loop rewrites boundary rows itself)."""
     t0 = it0 * cfg.t_scale
     # %.6g-formatted stamps carry ~5e-7 relative error; the tolerance must
-    # dominate it while staying below the >= 1-interval row spacing
-    tol = max(0.5 * cfg.t_scale, 2e-6 * t0)
+    # dominate it while staying below the row spacing.  The two bounds can
+    # collide (interval=1 runs past ~2.5e5 steps: the stamp quantization
+    # exceeds the spacing), so the tolerance is clamped per row by the
+    # OBSERVED spacing to the previous row, erring toward KEEPING rows —
+    # a duplicated boundary row after resume beats silently truncating
+    # valid data rows.
+    stamp_tol = max(0.5 * cfg.t_scale, 2e-6 * t0)
     keep = 0
+    prev = None
     try:
         with open(flux_path) as fh:
             for line in fh:
@@ -108,8 +114,12 @@ def _resume_flux_rows(flux_path: str, cfg: SimConfig, it0: int,
                     t = float(line.split()[0])
                 except (ValueError, IndexError):
                     break
+                spacing = t - prev if prev is not None else cfg.t_scale
+                tol = min(stamp_tol,
+                          max(0.45 * spacing, 0.45 * cfg.t_scale))
                 if t < t0 - tol or (abs(t - t0) <= tol and it0 % interval):
                     keep += 1
+                    prev = t
                 else:
                     break
     except FileNotFoundError:
@@ -191,8 +201,9 @@ def _run_body(cfg: SimConfig, output_root: str = "Data/Test",
             if mesh:
                 state = sim.place_state(state)  # re-shard onto the mesh
         if not mesh and state.force.shape[1] == cfg.ydim:
-            # mesh-saved checkpoints keep the force full-size [2, Y, X];
-            # the single-device layout is band-only (zero above the band
+            # jnp-mesh-saved checkpoints keep the force full-size
+            # [2, Y, X] (the pallas layouts are band-only already); the
+            # single-device layout is band-only (zero above the band
             # by construction — ImmersedBoundary.cu:166-231)
             state = state._replace(force=state.force[:, :cfg.force_band])
         it0 = int(state.it)

@@ -108,6 +108,35 @@ def test_cli_orbax_sharded_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(a[-3:], b[-3:], rtol=1e-9)
 
 
+def test_cli_orbax_cross_layout_resume(tmp_path):
+    # cross-layout orbax resume: a SINGLE-DEVICE orbax checkpoint stores
+    # the band-only force [2, band, X], while the jnp mesh layout carries
+    # it full-size [2, Y, X] — load_orbax must adapt the layout instead
+    # of failing the StandardRestore shape match
+    import os
+
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    args = ["1", "4", "48", "1.0", "1.0", "5", "0.002", "2", "0", "0",
+            "--quiet", "--dtype", "float64"]
+    assert main(args + ["--output", str(tmp_path / "a"),
+                        "--checkpoint-every", "100",
+                        "--checkpoint-format", "orbax"]) == 0
+    ck = str(tmp_path / "a" / "Raw" / "4" / "1" / "checkpoint_orbax")
+    assert os.path.isdir(ck)
+    full = ["1", "4", "48", "1.0", "1.0", "5", "0.004", "4", "0", "0",
+            "--quiet", "--dtype", "float64"]
+    assert main(full + ["--output", str(tmp_path / "m"), "--mesh", "2,4",
+                        "--resume", ck]) == 0
+    assert main(full + ["--output", str(tmp_path / "s")]) == 0
+    a = np.loadtxt(tmp_path / "m" / "Flux" / "1_4_48_1_1x5-flux.dat")
+    b = np.loadtxt(tmp_path / "s" / "Flux" / "1_4_48_1_1x5-flux.dat")
+    np.testing.assert_allclose(a[-3:], b[-3:], rtol=1e-9)
+
+
 def test_cli_too_few_args():
     assert main(["1", "2", "3"]) == 1
 

@@ -24,6 +24,21 @@ def test_fluid_snapshot_byte_identical(tmp_path):
     assert p_py.read_bytes() == p_c.read_bytes()
 
 
+def test_fluid_snapshot_byte_identical_f32_inputs(tmp_path):
+    # sim fields arrive in f32 (aux_dtype); both writers must upcast to
+    # f64 BEFORE scaling or ~4% of lines flip their 6th significant digit
+    cfg = SimConfig(c_num=4, c_space=48, ydim=16)
+    rho = (1.0 + 0.01 * RNG.standard_normal(
+        (cfg.ydim, cfg.xdim))).astype(np.float32)
+    u = (0.01 * RNG.standard_normal(
+        (2, cfg.ydim, cfg.xdim))).astype(np.float32)
+    p_py = tmp_path / "py.dat"
+    p_c = tmp_path / "c.dat"
+    writers.write_fluid_snapshot(str(p_py), cfg, rho, u)
+    native.write_fluid_snapshot(str(p_c), cfg, rho, u)
+    assert p_py.read_bytes() == p_c.read_bytes()
+
+
 def test_cilia_snapshot_byte_identical(tmp_path):
     cfg = SimConfig(c_num=4, c_space=48)
     ns = cfg.ns

@@ -44,6 +44,21 @@ def test_short_run_is_finite_and_active(sim):
     assert np.isfinite(float(st.q))
 
 
+def test_initial_cilia_snapshot_is_phase_zero(sim):
+    # at the it=0 output boundary nothing has run: the snapshot must be
+    # the phase-0 placement with zero velocity (the reference writes
+    # 0-cilia.dat after define_filament(it=0)), NOT the wrapped phase T-1
+    # that (it-1) % T would select
+    s0, u0, eps0 = sim.boundary_fields(sim.init_state())
+    pos0 = sim.cilia.positions(jnp.zeros((), jnp.int32))
+    s_ref, u_ref, eps_ref = sim.cilia.place_and_mask(
+        pos0, jnp.zeros_like(pos0))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s_ref),
+                               rtol=0, atol=1e-12)
+    assert float(jnp.abs(u0).max()) == 0.0
+    np.testing.assert_array_equal(np.asarray(eps0), np.asarray(eps_ref))
+
+
 def test_determinism(sim):
     st1 = sim.run_chunk(sim.init_state(), 10)
     st2 = sim.run_chunk(sim.init_state(), 10)
