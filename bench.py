@@ -41,12 +41,9 @@ def log(*a):
 
 
 def corrected_velocity_of(sim, state):
-    from cuda_iblb_11_tpu.ops import ib_band
-    from cuda_iblb_11_tpu.ops import reference as ref
-
-    force = ib_band.pad_band(state.force, sim.cfg.ydim)
-    _, u = ref.corrected_velocity(state.f, force, sim.storage)
-    return u
+    """The spread-corrected velocity the sim itself snapshots
+    (models/mucociliary.py fields(): band pad + corrected_velocity)."""
+    return sim.fields(state)[1]
 
 
 def timed_run(sim, steps, windows=1):

@@ -36,11 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Guo forcing scheme; 'reference' replicates the CUDA "
                         "exactly but is IB-unstable at default parameters")
     p.add_argument("--dtype", default=None,
-                   choices=[None, "float32", "float64", "bfloat16"])
+                   choices=["float32", "float64", "bfloat16"])
     p.add_argument("--temporal", type=int, default=1, metavar="K",
                    help="K-step temporal blocking for the pallas backend "
-                        "(K LB steps per HBM pass over the force-free bulk; "
-                        "bit-exact vs single-step; default 1)")
+                        "(K LB steps per HBM pass over the force-free "
+                        "bulk; identical physics — the band super-kernel "
+                        "re-associates the IB contractions, ~1e-6-level "
+                        "f32 drift vs single-step; default 1)")
     p.add_argument("--pattern", default="no_mucus",
                    choices=["no_mucus", "mucus"],
                    help="cilia beat pattern: the reference's active "

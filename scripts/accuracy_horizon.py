@@ -16,11 +16,19 @@ Measures velocity rel-L2 error growth of the production modes:
 Writes validation/accuracy_horizon.json (one entry per horizon per pair)
 and prints the fitted power law error ~ a * steps^p for each pair.
 
-Run:  PYTHONPATH=/root/repo python scripts/accuracy_horizon.py cpu
-      PYTHONPATH=/root/repo:/root/.axon_site python scripts/accuracy_horizon.py tpu
+Run:  python scripts/accuracy_horizon.py cpu
+      python scripts/accuracy_horizon.py tpu
 """
 
 from __future__ import annotations
+
+# allow `python scripts/<this>.py` from anywhere: the package lives at
+# the repo root, which is NOT on sys.path when the script dir is
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 import os
@@ -50,8 +58,13 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "validation",
 
 def velocity(sim, st):
     force = ib_band.pad_band(st.force, sim.cfg.ydim)
-    _, u = ref.corrected_velocity(st.f.astype(jnp.float64),
-                                  force.astype(jnp.float64), sim.storage)
+    # scoped x64 so the f64 evaluation is honored on the tpu leg too —
+    # without it the astype silently no-ops to f32 there (the cpu leg
+    # sets the global flag above)
+    with jax.enable_x64(True):
+        _, u = ref.corrected_velocity(st.f.astype(jnp.float64),
+                                      force.astype(jnp.float64),
+                                      sim.storage)
     return u
 
 

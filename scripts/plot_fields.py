@@ -41,12 +41,31 @@ def _mpl():
     return plt
 
 
+def _load_columns(path, ncols):
+    """Whitespace table -> float array, skipping blank lines.  pandas' C
+    parser when available (np.loadtxt on a 8192^2 snapshot's 67M lines
+    costs minutes and GBs); np.loadtxt otherwise."""
+    try:
+        import pandas as pd
+
+        d = pd.read_csv(path, sep=r"\s+", header=None,
+                        skip_blank_lines=True).to_numpy(np.float64)
+    except ImportError:
+        d = np.loadtxt(path)
+    if d.ndim != 2 or d.shape[1] != ncols:
+        raise ValueError(f"{path}: expected {ncols} columns")
+    return d
+
+
 def read_fluid(path):
     """Parse <it>-fluid.dat -> dict of [Y, X] arrays (x, y in scaled um;
-    velocities in scaled mm/s; see cfg.x_scale / s_scale)."""
-    d = np.loadtxt(path)  # blank lines are skipped
-    if d.ndim != 2 or d.shape[1] != 6:
-        raise ValueError(f"{path}: expected 6 columns 'x y ux uy |u| rho'")
+    velocities in scaled mm/s; see cfg.x_scale / s_scale).
+
+    The x/y coordinate AXES are rebuilt uniformly from the first/last
+    parsed values: the file's 6-significant-digit formatting makes large
+    coordinates unevenly spaced (0.062/0.0625/0.063 at x >= 1600 cells),
+    which matplotlib's streamplot rejects."""
+    d = _load_columns(path, 6)
     xs = d[:, 0]
     wraps = xs[1:] < xs[:-1]
     xdim = int(np.argmax(wraps)) + 1 if wraps.any() else d.shape[0]
@@ -55,17 +74,17 @@ def read_fluid(path):
                          f"inferred XDIM {xdim}")
     ydim = d.shape[0] // xdim
     g = d.reshape(ydim, xdim, 6)
+    x_ax = np.linspace(g[0, 0, 0], g[0, -1, 0], xdim)
+    y_ax = np.linspace(g[0, 0, 1], g[-1, 0, 1], ydim)
     return {
-        "x": g[..., 0], "y": g[..., 1], "ux": g[..., 2], "uy": g[..., 3],
+        "x_ax": x_ax, "y_ax": y_ax, "ux": g[..., 2], "uy": g[..., 3],
         "umag": g[..., 4], "rho": g[..., 5],
     }
 
 
 def read_cilia(path):
     """Parse <it>-cilia.dat -> (s [Ns,2], u_s [Ns,2], eps [Ns])."""
-    d = np.loadtxt(path)
-    if d.ndim != 2 or d.shape[1] != 5:
-        raise ValueError(f"{path}: expected 5 columns 'x y us vs eps'")
+    d = _load_columns(path, 5)
     return d[:, 0:2], d[:, 2:4], d[:, 4].astype(int)
 
 
@@ -74,12 +93,13 @@ def plot_fluid(args):
     f = read_fluid(args.path)
     fig, ax = plt.subplots(figsize=(10, 3.2 + 6.0 * f["umag"].shape[0]
                                     / max(1, f["umag"].shape[1])))
-    ext = [f["x"].min(), f["x"].max(), f["y"].min(), f["y"].max()]
+    x_ax, y_ax = f["x_ax"], f["y_ax"]
+    ext = [x_ax[0], x_ax[-1], y_ax[0], y_ax[-1]]
     im = ax.imshow(f["umag"], origin="lower", extent=ext, cmap="viridis",
                    aspect="equal", interpolation="nearest")
     fig.colorbar(im, ax=ax, label="|u| [scaled mm/s]", shrink=0.9)
     # sparse streamline overlay for direction (thin, recessive)
-    ax.streamplot(f["x"][0, :], f["y"][:, 0], f["ux"], f["uy"],
+    ax.streamplot(x_ax, y_ax, f["ux"], f["uy"],
                   density=0.8, color="white", linewidth=0.6,
                   arrowsize=0.7)
     if args.cilia:

@@ -9,6 +9,14 @@ axon tunnel; see docs/perf_notes).
 
 from __future__ import annotations
 
+# allow `python scripts/<this>.py` from anywhere: the package lives at
+# the repo root, which is NOT on sys.path when the script dir is
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

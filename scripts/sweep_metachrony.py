@@ -8,13 +8,21 @@ Run at 2048x2048 with 16 cilia on the temporal+super-kernel fast path:
 one TPU v5e chip (the reference's cluster sweep ran each point for ~2.7
 hours on a GPU at 1/70 the cell count).
 
-Result (validation/metachrony.json, 2026-08-17): pumping peaks at
-c_fraction=4 (Q=124.8 per beat) — a distinct metachronal optimum, ~1.6x
-the synchronous-beat flux (c_fraction=16 == zero phase lag, Q=78.0).
+Result (validation/metachrony.json, 2026-08-18, pure-K=16 chunks):
+pumping peaks at c_fraction=4 (Q=125.0 per beat) — a distinct
+metachronal optimum, ~1.6x the synchronous-beat flux (c_fraction=16 ==
+zero phase lag, Q=78.2).
 
-Usage: PYTHONPATH=. python scripts/sweep_metachrony.py \
-           [--out validation/metachrony.json]
+Usage: python scripts/sweep_metachrony.py [--out validation/metachrony.json]
 """
+
+# allow `python scripts/<this>.py` from anywhere: the package lives at
+# the repo root, which is NOT on sys.path when the script dir is
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import json
 import os
@@ -39,8 +47,14 @@ def main():
                         dtype="float32")
         sim = MucociliarySim(cfg, backend="pallas", temporal=16)
         st = sim.init_state()
-        for _ in range(20):  # one beat period in bounded chunks
-            st = sim.run_chunk(st, cfg.T // 20)
+        # one beat period in bounded chunks; each chunk is a multiple of
+        # K=16 so every internal _MAX_SCAN split stays on the temporal
+        # fast path (a non-multiple chunk would run a single-step
+        # remainder scan — different perf mode than the sweep claims)
+        chunk = cfg.T // 10
+        assert chunk % 16 == 0 and chunk * 10 == cfg.T
+        for _ in range(10):
+            st = sim.run_chunk(st, chunk)
         q = float(st.q)
         finite = bool(jnp.isfinite(st.f).all())
         out[cf] = {"q_per_beat": q, "p_step": cfg.p_step, "finite": finite}

@@ -16,6 +16,14 @@ Run:  python scripts/validate_fields.py   (TPU: ~2-4 min; CPU: slower)
 
 from __future__ import annotations
 
+# allow `python scripts/<this>.py` from anywhere: the package lives at
+# the repo root, which is NOT on sys.path when the script dir is
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import sys
@@ -48,8 +56,6 @@ def main():
 
     from cuda_iblb_11_tpu.core.config import SimConfig
     from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
-    from cuda_iblb_11_tpu.ops import ib_band
-    from cuda_iblb_11_tpu.ops import reference as ref
 
     cfg = SimConfig(c_fraction=1, c_num=6, c_space=50, re=1.0,
                     t_num=1.0, t_pow=5, i_pow=1.0, ydim=200,
@@ -61,8 +67,7 @@ def main():
     for epoch in EPOCHS:
         state = sim.run_chunk(state, epoch - it)
         it = epoch
-        force = ib_band.pad_band(state.force, cfg.ydim)
-        rho, u = ref.corrected_velocity(state.f, force, sim.storage)
+        rho, u = sim.fields(state)  # the exact snapshot quantities
         ours_mag = np.asarray(jnp.sqrt(u[0] ** 2 + u[1] ** 2))
         ours_rho = np.asarray(rho)
         nom = load_nominal(epoch)
