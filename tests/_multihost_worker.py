@@ -50,6 +50,14 @@ def main():
     resume_ok = bool(jnp.array_equal(a.f, b.f)) and bool(
         jnp.array_equal(a.q, b.q))
     checksum = float(jnp.sum(jnp.abs(b.f)))
+
+    # pallas-sharded leg: the production kernel path's collectives (f1
+    # halo ppermutes, IB psums) must also work across process boundaries
+    # (interpret-mode kernel on the CPU mesh)
+    from cuda_iblb_11_tpu.parallel.sharded import ShardedPallasSim
+
+    simp = ShardedPallasSim(cfg, make_mesh(2, 4), interpret=True)
+    stp = simp.run_chunk(simp.init_state(), 2)
     print(json.dumps({
         "mode": MODE,
         "proc": int(os.environ.get("MH_PROC", 0)),
@@ -57,6 +65,8 @@ def main():
         "q5": float(b.q),
         "checksum": checksum,
         "resume_ok": resume_ok,
+        "q_pallas": float(stp.q),
+        "checksum_pallas": float(jnp.sum(jnp.abs(stp.f))),
     }), flush=True)
 
 
