@@ -13,8 +13,9 @@ The super-kernel re-associates the IB contractions, so it is NOT bit-exact
 vs the single-step fused kernel; its measured deviation is reported in
 diag.super_vs_single_rel_l2 (~3.5e-6 at 2,048 steps since the r3
 bf16-split full-precision fix — unchanged by the r3 shared-monomial
-collide, which all kernels share; the f32-vs-f64 envelope is gated in
-tests/test_accuracy_horizon.py and characterized in
+collide, which all kernels share — and SATURATING with horizon: 3.6e-6
+@512 -> 2.1e-6 @32,768 steps measured; the f32-vs-f64 envelope is gated
+in tests/test_accuracy_horizon.py and characterized in
 validation/accuracy_horizon.json).
 
 diag also carries the machine-readable secondary numbers (VERDICT r2
