@@ -17,6 +17,13 @@ CURVE = os.path.join(os.path.dirname(__file__), "..", "validation",
 NOMINAL = "/root/reference/CUDA_IBLB_11/Data/Nominals/flux_nom.dat"
 
 
+def test_checked_in_curve_is_monotone_pumping():
+    # independent of the (possibly absent) reference goldens: the
+    # committed curve itself must show monotone cumulative pumping
+    ours = np.loadtxt(CURVE)
+    assert np.all(np.diff(ours[:, 1]) > -1e-9)
+
+
 def test_checked_in_curve_matches_nominal_shape():
     ours = np.loadtxt(CURVE)
     if not os.path.exists(NOMINAL):
@@ -28,7 +35,6 @@ def test_checked_in_curve_matches_nominal_shape():
     a /= np.abs(a).max()
     b /= np.abs(b).max()
     assert float(np.corrcoef(a, b)[0, 1]) > 0.99
-    assert np.all(np.diff(ours[:, 1]) > -1e-9)  # monotone pumping
 
 
 GOLD_F64 = os.path.join(os.path.dirname(__file__), "..", "validation",

@@ -51,13 +51,27 @@ def _result(proc, timeout=420):
 
 def test_two_process_matches_single_process(tmp_path):
     single = _spawn("single", tmp_path / "ck_single")
-    r_single = _result(single)
+    try:
+        r_single = _result(single)
+    finally:
+        single.kill()
     assert r_single["resume_ok"], "single-process orbax resume diverged"
 
     port = _free_port()
     procs = [_spawn("dist", tmp_path / "ck_dist", port=port, proc=p,
                     local_devices=4) for p in range(2)]
-    r0, r1 = (_result(p) for p in procs)
+    try:
+        r0, r1 = (_result(p) for p in procs)
+    finally:
+        # a failing/hung rank must not leave its peer orphaned (blocked in
+        # a collective, holding the coordinator port for later runs)
+        for p in procs:
+            p.kill()
+        for p in procs:
+            try:
+                p.communicate(timeout=30)
+            except Exception:  # noqa: BLE001
+                pass
     assert r0["resume_ok"] and r1["resume_ok"], (
         "two-process orbax resume diverged")
     # both ranks see identical replicated scalars

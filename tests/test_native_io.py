@@ -14,7 +14,6 @@ RNG = np.random.default_rng(99)
 
 def test_fluid_snapshot_byte_identical(tmp_path):
     cfg = SimConfig(c_num=4, c_space=48, ydim=16)
-    cfg = cfg.replace(ydim=16)
     rho = 1.0 + 0.01 * RNG.standard_normal((cfg.ydim, cfg.xdim))
     u = 0.01 * RNG.standard_normal((2, cfg.ydim, cfg.xdim))
     p_py = tmp_path / "py.dat"

@@ -113,7 +113,9 @@ def test_pipelined_bf16_storage_interpret():
     fused = make_fused_substep(cfg, dtype=jnp.bfloat16, interpret=True,
                                tile_y=16, pipeline=True,
                                storage="deviatoric")
-    got = np.asarray(fused(fdev, force)).astype(np.float32)
+    raw = fused(fdev, force)
+    assert raw.dtype == jnp.bfloat16  # storage dtype round-trips
+    got = np.asarray(raw).astype(np.float32)
     # oracle in f32 on the dequantized state
     fullforce = jnp.concatenate(
         [force, jnp.zeros((2, ydim - cfg.force_band, xdim), jnp.float32)], 1)
@@ -122,4 +124,3 @@ def test_pipelined_bf16_storage_interpret():
         ref.REFERENCE_WALLS, forcing="trt_split", storage="deviatoric")
     # bf16 output rounding only: ~0.4% relative on the deviations
     np.testing.assert_allclose(got, np.asarray(want), rtol=0, atol=3e-3)
-    assert got.dtype == np.float32 and fused(fdev, force).dtype == jnp.bfloat16

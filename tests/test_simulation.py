@@ -79,12 +79,17 @@ def test_chunk_equals_single_steps(sim):
 
 def test_q_is_cumulative(sim):
     # Q is a running integral (reference never resets d_Q, main.cu:393):
-    # with the beat driving flow, |Q| after 40 steps ≥ |Q| after 20 in trend.
+    # continuing a state for 20 more steps must ACCUMULATE onto its q —
+    # a per-chunk reset of q would break the equality below.
     st20 = sim.run_chunk(sim.init_state(), 20)
+    q20 = float(st20.q)  # before the continuation (run_chunk donates)
     st40 = sim.run_chunk(sim.init_state(), 40)
-    assert np.isfinite(float(st20.q)) and np.isfinite(float(st40.q))
-    # They must differ: each step adds a flux sample.
-    assert float(st20.q) != float(st40.q)
+    st20_20 = sim.run_chunk(st20, 20)
+    assert np.isfinite(float(st40.q))
+    np.testing.assert_allclose(float(st20_20.q), float(st40.q), rtol=1e-12)
+    # and q genuinely grows (each step adds a flux sample)
+    assert q20 != float(st40.q)
+    assert abs(float(st20_20.q)) > abs(q20)
 
 
 def test_float32_path_close_to_float64():
