@@ -9,6 +9,7 @@ format).  This utility renders them directly:
     python scripts/plot_fields.py fluid  <it>-fluid.dat [--cilia <it>-cilia.dat] [--out o.png]
     python scripts/plot_fields.py flux   <run>-flux.dat [more-flux.dat ...] [--out o.png]
     python scripts/plot_fields.py cilia  <it>-cilia.dat [--out o.png]
+    python scripts/plot_fields.py movie  <Raw/P/c dir> [--cilia-dir <Cilia/P/c dir>] [--fps 4]
 
 Formats parsed (io/writers.py, byte-compatible with main.cu:954-1004):
     fluid: "x y ux uy |u| rho" per cell, blank line after each grid row
@@ -111,6 +112,8 @@ def plot_fluid(args):
             ax.plot(s[off, 0], s[off, 1], "x", ms=3, color="#ff7f0e",
                     alpha=0.6, label="cilia nodes (masked)")
         ax.legend(loc="upper right", fontsize=8, framealpha=0.8)
+    ax.set_xlim(ext[0], ext[1])
+    ax.set_ylim(ext[2], ext[3])
     ax.set_xlabel("x [scaled um]")
     ax.set_ylabel("y [scaled um]")
     ax.set_title(f"velocity magnitude — {os.path.basename(args.path)}")
@@ -136,6 +139,70 @@ def plot_cilia(args):
     ax.legend(loc="upper right", fontsize=8)
     ax.grid(alpha=0.2)
     _save(fig, args)
+
+
+def plot_movie(args):
+    """Animated GIF over a BigData run's <it>-fluid.dat snapshots (one
+    frame per interval, shared color scale; optional cilia overlays)."""
+    import glob as globmod
+    import io as iomod
+    import re
+
+    from PIL import Image
+
+    plt = _mpl()
+    pat = re.compile(r"(\d+)-fluid\.dat$")
+    paths = sorted(
+        (p for p in globmod.glob(os.path.join(args.path, "*-fluid.dat"))
+         if pat.search(p)),
+        key=lambda p: int(pat.search(p).group(1)))
+    if len(paths) < 2:
+        raise SystemExit(f"need >= 2 <it>-fluid.dat files in {args.path}")
+    fields = [read_fluid(p) for p in paths]
+    vmax = max(float(f["umag"].max()) for f in fields)
+    frames = []
+    for p, f in zip(paths, fields):
+        it = pat.search(p).group(1)
+        x_ax, y_ax = f["x_ax"], f["y_ax"]
+        fig, ax = plt.subplots(figsize=(8, 2.6 + 5.0 * len(y_ax)
+                                        / max(1, len(x_ax))))
+        im = ax.imshow(f["umag"], origin="lower", vmin=0.0, vmax=vmax,
+                       extent=[x_ax[0], x_ax[-1], y_ax[0], y_ax[-1]],
+                       cmap="viridis", aspect="equal",
+                       interpolation="nearest")
+        fig.colorbar(im, ax=ax, label="|u| [scaled mm/s]", shrink=0.9)
+        if args.cilia_dir:
+            cp = os.path.join(args.cilia_dir, f"{it}-cilia.dat")
+            if os.path.exists(cp):
+                s, _, eps = read_cilia(cp)
+                ax.plot(s[eps == 1, 0], s[eps == 1, 1], ".", ms=3,
+                        color="#ff7f0e")
+        ax.set_title(f"it = {it}")
+        ax.set_xlim(x_ax[0], x_ax[-1])
+        ax.set_ylim(y_ax[0], y_ax[-1])
+        ax.set_xlabel("x [scaled um]")
+        ax.set_ylabel("y [scaled um]")
+        buf = iomod.BytesIO()
+        fig.savefig(buf, format="png", dpi=args.dpi, bbox_inches="tight")
+        plt.close(fig)
+        buf.seek(0)
+        frames.append(Image.open(buf).convert("RGB"))
+    out = args.out or os.path.join(args.path, "movie.gif")
+    # pad frames to one size (bbox_inches='tight' can vary by a pixel)
+    w = max(f.width for f in frames)
+    h = max(f.height for f in frames)
+    frames = [_paste_center(f, w, h) for f in frames]
+    frames[0].save(out, save_all=True, append_images=frames[1:],
+                   duration=int(1000 / args.fps), loop=0)
+    print(out)
+
+
+def _paste_center(img, w, h):
+    from PIL import Image
+
+    canvas = Image.new("RGB", (w, h), "white")
+    canvas.paste(img, ((w - img.width) // 2, (h - img.height) // 2))
+    return canvas
 
 
 def plot_flux(args):
@@ -176,9 +243,15 @@ def main(argv=None) -> int:
     px = sub.add_parser("flux", help="flux time series (overlay several)")
     px.add_argument("path")
     px.add_argument("more", nargs="*", default=None)
-    for q in (pf, pc, px):
+    pm = sub.add_parser("movie",
+                        help="animated GIF over a BigData run's snapshots")
+    pm.add_argument("path", help="directory holding <it>-fluid.dat files")
+    pm.add_argument("--cilia-dir", default=None,
+                    help="directory holding matching <it>-cilia.dat files")
+    pm.add_argument("--fps", type=float, default=4.0)
+    for q in (pf, pc, px, pm):
         q.add_argument("--out", default=None,
-                       help="output PNG (default: alongside the input)")
+                       help="output PNG/GIF (default: alongside the input)")
         q.add_argument("--dpi", type=int, default=150)
 
     args = p.parse_args(argv)
@@ -188,8 +261,8 @@ def main(argv=None) -> int:
         print("matplotlib is not available in this environment",
               file=sys.stderr)
         return 2
-    {"fluid": plot_fluid, "cilia": plot_cilia, "flux": plot_flux}[args.cmd](
-        args)
+    {"fluid": plot_fluid, "cilia": plot_cilia, "flux": plot_flux,
+     "movie": plot_movie}[args.cmd](args)
     return 0
 
 

@@ -66,6 +66,27 @@ def test_plot_all_forms(tmp_path):
         assert (tmp_path / name).stat().st_size > 1000
 
 
+def test_movie(tmp_path):
+    mod = _mod()
+    from cuda_iblb_11_tpu.core.config import SimConfig
+    from cuda_iblb_11_tpu.io import writers
+
+    cfg = SimConfig(c_num=4, c_space=48, ydim=16)
+    rng = np.random.default_rng(4)
+    for it in (0, 50, 100):
+        rho = 1.0 + 0.01 * rng.standard_normal((cfg.ydim, cfg.xdim))
+        u = 0.01 * rng.standard_normal((2, cfg.ydim, cfg.xdim))
+        writers.write_fluid_snapshot(
+            str(tmp_path / f"{it}-fluid.dat"), cfg, rho, u)
+    out = tmp_path / "m.gif"
+    assert mod.main(["movie", str(tmp_path), "--out", str(out),
+                     "--dpi", "50", "--fps", "8"]) == 0
+    from PIL import Image
+
+    im = Image.open(out)
+    assert im.n_frames == 3
+
+
 def test_cli_entrypoint(tmp_path):
     import subprocess
 
