@@ -780,7 +780,7 @@ def make_collide_rows_kernel(cfg, n_rows: int, dtype=jnp.float32,
 def _temporal_kernel(
     f_hbm, bhalos, out_ref, flux_ref, fsl, rings, sem,
     *, n_rows, xdim, ty, n_steps, tau, tau2, forcing, walls, storage,
-    flux_lane, cdt, align=8,
+    flux_lane, cdt, align=8, rdt=None,
 ):
     """K-step temporal-blocking kernel for the force-free bulk region.
 
@@ -810,6 +810,13 @@ def _temporal_kernel(
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0) - n_steps
     K = n_steps
+    # rdt: the f1 RING dtype.  cdt (default) keeps the temporal path
+    # bit-identical to the single-step kernel (the f32/f64 contract).
+    # The bf16 fast mode stores rings (and the seam bhalos) in bf16 —
+    # per-sub-step f1 rounding in the force-free bulk, the same error
+    # class as its bf16 HBM storage — halving the dominant VMEM ring
+    # traffic (and fitting K=16 at 8192-wide grids).
+    rdt = cdt if rdt is None else rdt
 
     # flux_lane is static here (single-chip bulk), so the column sample
     # reduces a single 128-lane block instead of the full width — summing
@@ -867,7 +874,7 @@ def _temporal_kernel(
                 rows = rings[s, rc, d]
             elif cy == 1:
                 prev = rings[s, rp, d, ty - 1:ty, :]
-                prev = jnp.where(j == 0, bhalos[s, d, 0:1, :].astype(cdt),
+                prev = jnp.where(j == 0, bhalos[s, d, 0:1, :].astype(rdt),
                                  prev)
                 rows = jnp.concatenate(
                     [prev, rings[s, rc, d, 0:ty - 1, :]], axis=0)
@@ -895,6 +902,13 @@ def _temporal_kernel(
         flux_ref[s] = flux_ref[s] + jnp.sum(ux_col).astype(
             jnp.float32) * onehot
 
+    def ring_store(f1_d):
+        # static guard: identical graph (no astype) on the cdt-ring path
+        return f1_d if rdt == cdt else f1_d.astype(rdt)
+
+    def to_cdt(planes):
+        return planes if rdt == cdt else [p.astype(cdt) for p in planes]
+
     # --- stage 0: collide sub-step 1 of tile i ---------------------------
     @pl.when(i <= n_tiles - 1)
     def _():
@@ -903,29 +917,30 @@ def _temporal_kernel(
         f1, _, _ = _collide_tile(f, None, None, tau=tau, tau2=tau2,
                                  forcing=forcing, storage=storage)
         for d in range(9):
-            rings[0, i % 3, d] = f1[d]
+            rings[0, i % 3, d] = ring_store(f1[d])
 
     # --- stages 1..K-1: stream sub-step s, collide sub-step s+1 ----------
     for s in range(1, K):
         @pl.when(jnp.logical_and(i - s >= 0, i - s <= n_tiles - 1))
         def _(s=s):
             j = i - s
-            g = assemble(s - 1, j)
+            g = to_cdt(assemble(s - 1, j))
             f1, rho, mom_x = _collide_tile(g, None, None, tau=tau, tau2=tau2,
                                            forcing=forcing, storage=storage)
             add_flux(s - 1, rho, mom_x)
             for d in range(9):
-                rings[s, j % 3, d] = f1[d]
+                rings[s, j % 3, d] = ring_store(f1[d])
 
     # --- stage K: stream sub-step K -> output + its flux partial ---------
     @pl.when(i - K >= 0)
     def _():
         k = i - K
-        planes = assemble(K - 1, k)
+        raw = assemble(K - 1, k)
+        planes = to_cdt(raw)  # flux partials in compute precision
         fsum_col = colsum(planes[0])
         momx_col = None
         for d in range(9):
-            out_ref[d] = planes[d].astype(out_ref.dtype)
+            out_ref[d] = raw[d].astype(out_ref.dtype)
             if d > 0:
                 fsum_col = fsum_col + colsum(planes[d])
             if CX[d] == 1:
@@ -965,6 +980,15 @@ def make_temporal_bulk_substep(cfg, n_rows: int, n_steps: int,
         raise ValueError("n_steps must be >= 1")
     dtype = jnp.dtype(dtype)
     cdt = jnp.dtype(jnp.float32) if dtype.itemsize < 4 else dtype
+    # rdt parameterizes the f1-ring dtype.  Measured NEGATIVE result (r3,
+    # recorded so it isn't retried): bf16 rings for the bf16 fast mode
+    # read 16.9k vs 16.2k MLUPS (+4% only — the ring traffic is latency-
+    # hidden better than its byte volume suggests) while the velocity
+    # noise blew up 16x (3.2e-2 vs 2.0e-3 at 2,048 steps: per-sub-step
+    # bf16 rounding of the deviatoric f1 accumulates K times per HBM
+    # round-trip, unlike the once-per-super-step storage rounding).
+    # All modes therefore keep compute-precision rings.
+    rdt = cdt
     align = 16 if dtype.itemsize == 2 else 8
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -974,9 +998,10 @@ def make_temporal_bulk_substep(cfg, n_rows: int, n_steps: int,
     ty = tile_y
     if ty is None:
         for cand in (64, 32, 16, 8):
-            if n_rows % cand or n_rows // cand < 2:
+            if n_rows % cand or n_rows // cand < 2 or cand % align:
                 continue
-            if ((3 * K + 4) * 9 * cand * xdim * cdt.itemsize) <= budget:
+            if ((3 * K * rdt.itemsize + 4 * cdt.itemsize)
+                    * 9 * cand * xdim) <= budget:
                 ty = cand
                 break
         if ty is None:
@@ -995,15 +1020,15 @@ def make_temporal_bulk_substep(cfg, n_rows: int, n_steps: int,
         n_rows=n_rows, xdim=xdim, ty=ty, n_steps=K,
         tau=float(cfg.tau), tau2=float(cfg.tau2), forcing=forcing,
         walls=walls, storage=storage, flux_lane=int(cfg.flux_x),
-        cdt=cdt, align=align,
+        cdt=cdt, align=align, rdt=rdt,
     )
     # VMEM reservation sized to the actual footprint (+ headroom for the
     # working planes) — a flat high limit starves XLA's own VMEM prefetch
     # for the surrounding ops and can abort compilation.
     footprint = (
-        (3 * K) * 9 * ty * xdim * cdt.itemsize        # f1 rings
+        (3 * K) * 9 * ty * xdim * rdt.itemsize        # f1 rings
         + (2 + 2) * 9 * ty * xdim * dtype.itemsize    # in slots + out bufs
-        + K * 9 * 8 * xdim * cdt.itemsize             # bhalos
+        + K * 9 * 8 * xdim * rdt.itemsize             # bhalos
         + 8 * ty * xdim * cdt.itemsize                # working planes
     )
     vmem_limit = min(footprint + (8 << 20), 100 << 20)
@@ -1028,7 +1053,7 @@ def make_temporal_bulk_substep(cfg, n_rows: int, n_steps: int,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 9, ty, xdim), dtype),       # input slots
-            pltpu.VMEM((K, 3, 9, ty, xdim), cdt),      # f1 ring per sub-step
+            pltpu.VMEM((K, 3, 9, ty, xdim), rdt),      # f1 ring per sub-step
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
@@ -1041,7 +1066,7 @@ def make_temporal_bulk_substep(cfg, n_rows: int, n_steps: int,
     )
 
     def substep(f_bulk, bhalos):
-        f_new, fluxout = call(f_bulk.astype(dtype), bhalos.astype(cdt))
+        f_new, fluxout = call(f_bulk.astype(dtype), bhalos.astype(rdt))
         return f_new, fluxout[:, 0, 0]
 
     return substep
@@ -1659,12 +1684,15 @@ def _ghost_temporal_kernel(
     load-bearing (tests + bench), and threading runtime flags through it
     would perturb proven codegen for zero benefit there.  Any fix to the
     pipeline in either kernel MUST be applied to both
-    (tests/test_kernel_mirror.py CI-checks the contract).  One known
-    deliberate divergence: _temporal_kernel's colsum reduces a static
-    128-lane block (its flux_lane is a Python int); here the lane is a
-    runtime flag, so the mask sweeps the full width — bit-identical
+    (tests/test_kernel_mirror.py CI-checks the contract).  Two known
+    deliberate divergences: (1) _temporal_kernel's colsum reduces a
+    static 128-lane block (its flux_lane is a Python int); here the lane
+    is a runtime flag, so the mask sweeps the full width — bit-identical
     output either way (summing a one-hot-masked plane is exact in any
-    order).
+    order).  (2) _temporal_kernel carries an rdt (ring dtype) parameter
+    — currently always cdt after a measured negative result (bf16 rings:
+    +4% for 16x the noise; see make_temporal_bulk_substep) — which this
+    kernel never gained.
     """
     i = pl.program_id(0)
     K = n_steps
