@@ -1073,12 +1073,10 @@ def make_temporal_bulk_substep(cfg, n_rows: int, n_steps: int,
 
 
 def _band_super_kernel(
-    f_in, force_in, us_ref, eps_ref, axl_ref, fx_ref, ay_ref, fy_ref,
-    fband_out, bh_out, force_out, flux_out,
-    fsc, f1sc, fosc, fpad, sem,
-    *, rows, band, xdim, n_steps, c_num, cw, halo, npt, tau, tau2,
+    *refs,
+    rows, band, xdim, n_steps, c_num, cw, halo, npt, tau, tau2,
     forcing, storage, flux_lane, cdt, walls, win_lo, fold,
-    mxu_full_precision=True,
+    mxu_full_precision=True, runtime_flux=False,
 ):
     """Resident-band temporal super-kernel: ALL K band sub-steps plus the
     full IB coupling in ONE launch (see make_band_super_substep).
@@ -1097,8 +1095,22 @@ def _band_super_kernel(
       force strip IS the block (no fold — the caller discards the ghost
       columns, which neighbouring tiles compute redundantly).  flux_lane is
       None on tiles that don't own the flux column.
+
+    runtime_flux=True (the x-SHARDED per-shard variant,
+    make_band_super_substep_xsharded): the flux lane is a runtime scalar
+    flag ([lane_local, owned], scalar-prefetched as the first ref) because
+    inside shard_map every shard runs ONE program but only one owns the
+    flux column; the mask then sweeps the full block width (bit-identical
+    to the static-lane block reduction — summing a one-hot-masked plane is
+    exact in any order).
     """
     from cuda_iblb_11_tpu.ops.ib import delta_1d
+
+    if runtime_flux:
+        flags, refs = refs[0], refs[1:]
+    (f_in, force_in, us_ref, eps_ref, axl_ref, fx_ref, ay_ref, fy_ref,
+     fband_out, bh_out, force_out, flux_out,
+     fsc, f1sc, fosc, fpad, sem) = refs
 
     s = pl.program_id(0)
     K = n_steps
@@ -1252,7 +1264,19 @@ def _band_super_kernel(
             fosc[c] = fpad[c]
 
     # --- flux-column partial (band rows; force correction included) ------
-    if flux_lane is None:
+    if runtime_flux:
+        lane = flags[0]
+        owned = flags[1] == 1
+        w_blk = mom_x.shape[1]
+        lmask = (jax.lax.broadcasted_iota(jnp.int32, (band, w_blk), 1)
+                 == lane).astype(cdt)
+        ux_b = (mom_x + 0.5 * fosc[0]) / rho
+        onehot = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                   + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1))
+                  == 0).astype(cdt)
+        flux_out[0] = jnp.where(owned, jnp.sum(ux_b * lmask),
+                                jnp.zeros((), cdt)) * onehot
+    elif flux_lane is None:
         flux_out[0] = jnp.zeros((8, 128), flux_out.dtype)
     else:
         # right-edge clamp mirrors _temporal_kernel/_pipelined_kernel:
@@ -1328,9 +1352,12 @@ def _band_super_resident(width, rows, band, fpad_extra, dtype, cdt):
 
 def _build_band_super_call(cfg, rows, band, K, width, win_lo, fold,
                            flux_lane, c_sub, halo, dtype, cdt, walls,
-                           forcing, storage, interpret):
+                           forcing, storage, interpret,
+                           runtime_flux=False):
     """pallas_call for one band super-kernel instance (see
-    _band_super_kernel for the fold=True/False layouts)."""
+    _band_super_kernel for the fold=True/False layouts).  runtime_flux
+    prepends a scalar-prefetched int32 [lane, owned] flags argument (the
+    x-sharded per-shard variant)."""
     kernel = functools.partial(
         _band_super_kernel,
         rows=rows, band=band, xdim=width, n_steps=K, c_num=c_sub,
@@ -1338,62 +1365,84 @@ def _build_band_super_call(cfg, rows, band, K, width, win_lo, fold,
         tau2=float(cfg.tau2), forcing=forcing, storage=storage,
         flux_lane=flux_lane, cdt=cdt, walls=walls, win_lo=tuple(win_lo),
         fold=fold, mxu_full_precision=dtype.itemsize >= 4,
+        runtime_flux=runtime_flux,
     )
     fpad_w = width + 2 * halo if fold else width
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),       # f_ext
+        pl.BlockSpec(memory_space=pl.ANY),       # force
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # u_s [K,2,c,128]
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # eps [K,c,128]
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # axl int32
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # fx
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # ay int32
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # fy
+    ]
+    out_specs = [
+        pl.BlockSpec((9, band, width), lambda s, *_: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 9, 8, width), lambda s, *_: (s, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, band, width), lambda s, *_: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, 128), lambda s, *_: (s, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((9, band, width), dtype),
+        jax.ShapeDtypeStruct((K, 9, 8, width), cdt),
+        jax.ShapeDtypeStruct((2, band, width), cdt),
+        jax.ShapeDtypeStruct((K, 8, 128), cdt),
+    ]
+    scratch_shapes = [
+        # f state is kept at the COMPUTE dtype across the whole
+        # super-step: with bf16 storage, a bf16 resident block would
+        # re-round the band state every sub-step exactly where the
+        # stiff IB feedback lives; f32 scratch confines the bf16
+        # rounding to the once-per-K-steps HBM boundary.
+        pltpu.VMEM((9, rows, width), cdt),       # f state
+        pltpu.VMEM((9, rows, width), cdt),       # f1
+        pltpu.VMEM((2, band, width), cdt),       # force
+        pltpu.VMEM((2, band, fpad_w), cdt),      # overlap-add strip
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=min(
+            (9 * rows * 2 * cdt.itemsize
+             + 9 * band * dtype.itemsize
+             + 8 * band * cdt.itemsize
+             + 2 * band * 2 * cdt.itemsize
+             + 14 * band * cdt.itemsize) * width + (24 << 20),
+            110 << 20))
+    cost = pl.CostEstimate(
+        flops=int(rows * width * 200 * K),
+        bytes_accessed=int(20 * rows * width * dtype.itemsize),
+        transcendentals=0,
+    )
+    if runtime_flux:
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(K,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=out_shape,
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )
     return pl.pallas_call(
         kernel,
         grid=(K,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),       # f_ext
-            pl.BlockSpec(memory_space=pl.ANY),       # force
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # u_s [K,2,c,128]
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # eps [K,c,128]
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # axl int32
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # fx
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # ay int32
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # fy
-        ],
-        out_specs=[
-            pl.BlockSpec((9, band, width), lambda s: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, 8, width), lambda s: (s, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, band, width), lambda s: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda s: (s, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((9, band, width), dtype),
-            jax.ShapeDtypeStruct((K, 9, 8, width), cdt),
-            jax.ShapeDtypeStruct((2, band, width), cdt),
-            jax.ShapeDtypeStruct((K, 8, 128), cdt),
-        ],
-        scratch_shapes=[
-            # f state is kept at the COMPUTE dtype across the whole
-            # super-step: with bf16 storage, a bf16 resident block would
-            # re-round the band state every sub-step exactly where the
-            # stiff IB feedback lives; f32 scratch confines the bf16
-            # rounding to the once-per-K-steps HBM boundary.
-            pltpu.VMEM((9, rows, width), cdt),       # f state
-            pltpu.VMEM((9, rows, width), cdt),       # f1
-            pltpu.VMEM((2, band, width), cdt),       # force
-            pltpu.VMEM((2, band, fpad_w), cdt),      # overlap-add strip
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(
-                (9 * rows * 2 * cdt.itemsize
-                 + 9 * band * dtype.itemsize
-                 + 8 * band * cdt.itemsize
-                 + 2 * band * 2 * cdt.itemsize
-                 + 14 * band * cdt.itemsize) * width + (24 << 20),
-                110 << 20)),
-        cost_estimate=pl.CostEstimate(
-            flops=int(rows * width * 200 * K),
-            bytes_accessed=int(20 * rows * width * dtype.itemsize),
-            transcendentals=0,
-        ),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        compiler_params=compiler_params,
+        cost_estimate=cost,
         interpret=interpret,
     )
 
@@ -1623,6 +1672,115 @@ def make_band_super_substep_tiled(cfg, pad: int, n_steps: int,
     substep.halo = halo
     substep.tile_x = tx
     substep.gx = gx
+    return substep
+
+
+def make_band_super_substep_xsharded(cfg, pad: int, n_steps: int,
+                                     walls: WallSpec = REFERENCE_WALLS,
+                                     dtype=jnp.float32,
+                                     forcing: str = "trt_split",
+                                     storage: str = "raw",
+                                     interpret: bool | None = None,
+                                     pattern: str = "no_mucus", *,
+                                     xl: int, n_x: int):
+    """Per-SHARD resident-band super-step for x-sharded meshes: each shard
+    runs the x-tiled band super-kernel on its own ``xl`` columns extended
+    by ``gx`` ghost columns ppermuted ONCE per super-step from the
+    x-neighbours — ONE launch for all K band sub-steps with ZERO
+    collectives inside (vs the tiled per-sub-step leg's K launches + K
+    psum('x') rounds).  Correctness is make_band_super_substep_tiled's
+    ghost-margin bound verbatim with tile_x = xl: gx >= W + 8K keeps every
+    interior column (and the interior slice of the seam bhalos) exact
+    after K sub-steps, and every force column is computed exactly by its
+    owner because each window touching it lies fully inside the owner's
+    extended block (the overlapping ghost-region force is recomputed
+    redundantly and identically by both neighbours).
+
+    The flux column is sampled with RUNTIME [lane_local, owned] flags
+    (scalar prefetch) so all shards run one SPMD-uniform program inside
+    shard_map (the static-flux-lane two-variant trick of the tiled
+    factory cannot differ per shard there).
+
+    Requirements: xl % c_space == 0 (every shard must see the same static
+    window layout — asserted, along with the subset-rotation property),
+    gx <= xl (one-hop ghost exchange) and xl + 2*gx <= XDIM (no double
+    periodic image inside one block).
+
+    Returns substep(flags, f_ext_block, force_block, u_s, eps, axl, fx,
+    ay, fy) -> (f_band, bhalos, force, flux[K]) in EXTENDED block coords
+    ([..., xl + 2*gx]).  The point arrays are the SHARD'S OWN cilium
+    subset in window-layout order: shard ix's j-th window holds cilium
+    (m0 + ix*c_step + j) mod c_num (attributes .m0/.c_step/.c_sub;
+    window-local point coordinates are lift-invariant, so the caller just
+    rolls the global per-cilium blocks).  Also exposes .gx/.halo/.width.
+    """
+    xdim = cfg.xdim
+    band = cfg.force_band
+    K = int(n_steps)
+    rows = band + pad
+    dtype = jnp.dtype(dtype)
+    cdt = jnp.dtype(jnp.float32) if dtype.itemsize < 4 else dtype
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cw, halo = _band_super_geometry(cfg, pad, K, walls, dtype, cdt,
+                                    interpret, pattern)
+    if xl % cw:
+        raise ValueError(
+            f"x-sharded band super needs xl % c_space == 0 (got xl={xl}, "
+            f"c_space={cw}): the window layout must be shard-uniform")
+    ww = cw + 2 * halo
+    reach = ww + 8 * K
+    gx = reach if interpret else -(-reach // 128) * 128
+    if gx > xl:
+        raise ValueError(
+            f"x-sharded band super needs gx={gx} <= xl={xl} (one-hop "
+            f"ghost-column exchange)")
+    txe = xl + 2 * gx
+    if txe > xdim:
+        raise ValueError(
+            f"extended shard block {txe} > XDIM={xdim}: a cilium's "
+            f"periodic images would both fall inside one block")
+    if _band_super_resident(txe, rows, band, 0, dtype, cdt) > (100 << 20):
+        raise ValueError(
+            f"x-sharded band super block ({txe} cols) exceeds VMEM")
+
+    c_num = cfg.c_num
+    ids, win_lo = [], []
+    for t in range(n_x):
+        lo_ext = t * xl - gx
+        tid, tlo = [], []
+        for mt in range(-c_num, 2 * c_num):
+            w0 = mt * cw - halo
+            if w0 >= lo_ext and w0 + ww <= lo_ext + txe:
+                tid.append(mt)
+                tlo.append(w0 - lo_ext)
+        ids.append(tuple(tid))
+        win_lo.append(tuple(tlo))
+    step = xl // cw
+    assert all(w == win_lo[0] for w in win_lo), \
+        "shard window layout must be uniform (xl % c_space == 0)"
+    assert all(ids[t] == tuple(m + t * step for m in ids[0])
+               for t in range(n_x)), "subset-rotation property violated"
+    c_sub = len(ids[0])
+
+    call = _build_band_super_call(
+        cfg, rows, band, K, txe, win_lo[0], False, None, c_sub, halo,
+        dtype, cdt, walls, forcing, storage, interpret, runtime_flux=True)
+
+    def substep(flags, f_ext, force, u_s, eps, axl, fx, ay, fy):
+        fb, bh, fo, flux = call(
+            flags.astype(jnp.int32),
+            f_ext.astype(cdt), force.astype(cdt), u_s.astype(cdt),
+            eps.astype(cdt), axl.astype(jnp.int32), fx.astype(cdt),
+            ay.astype(jnp.int32), fy.astype(cdt))
+        return fb, bh, fo, flux[:, 0, 0]
+
+    substep.gx = gx
+    substep.halo = halo
+    substep.width = txe
+    substep.c_sub = c_sub
+    substep.m0 = ids[0][0]
+    substep.c_step = step
     return substep
 
 

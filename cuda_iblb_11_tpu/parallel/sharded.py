@@ -736,10 +736,20 @@ class ShardedTemporalSim(ShardedPallasSim):
     true data, and each takes its own slice of the (replicated) band
     output.
 
-    On x-sharded meshes (n_x > 1), or whenever the band super-kernel is
-    ineligible (X too wide for VMEM — BASELINE config-5's 8192 — or
-    c_space not lane-aligned), the band leg switches from the resident
-    super-kernel to the TILED per-sub-step leg (_super_body_tiled): K
+    On x-sharded meshes (n_x > 1) the band leg PREFERS the per-shard
+    resident-band super-kernel (_super_body_xsuper +
+    ops/pallas_step.make_band_super_substep_xsharded): each shard's band
+    block, force and bulk ghosts are extended by gx ghost columns
+    ppermuted ONCE per super-step, and ONE kernel launch runs all K band
+    sub-steps with ZERO collectives inside (runtime [lane, owned] flux
+    flags keep the program SPMD-uniform).  Eligibility: xl % c_space ==
+    0, gx <= xl, xl + 2*gx <= XDIM — BASELINE config-5 (8192^2) on a
+    (2,2) mesh qualifies (xl=4096, gx=256 at K=8).
+
+    Otherwise — xl not a c_space multiple, shards too narrow, or the
+    whole-domain super-kernel ineligible on (n_y, 1) meshes (X too wide
+    for VMEM, c_space not lane-aligned) — the band leg falls back to the
+    TILED per-sub-step leg (_super_body_tiled): K
     launches of the sharded fused kernel on the band+pad trapezoid block
     with the full IB coupling per sub-step, while the bulk still advances
     K steps per ghost-kernel launch with ghost COLUMNS ppermuted next to
@@ -830,7 +840,24 @@ class ShardedTemporalSim(ShardedPallasSim):
                     break
                 except ValueError:
                     pass
-        if self._band_super is None:
+        # x-sharded meshes: per-shard resident-band super-kernel (one
+        # launch per super-step, zero collectives inside) when the shard
+        # geometry allows it; the tiled per-sub-step leg otherwise.
+        self._band_super_x = None
+        if (self._band_super is None and self.n_x > 1
+                and ib_x_edge == "periodic"):
+            from cuda_iblb_11_tpu.ops.pallas_step import (
+                make_band_super_substep_xsharded,
+            )
+
+            try:
+                self._band_super_x = make_band_super_substep_xsharded(
+                    cfg, pad_s, K, walls, self.dtype, forcing=forcing,
+                    storage=self.storage, interpret=interpret,
+                    pattern=pattern, xl=self.xl, n_x=self.n_x)
+            except ValueError:
+                pass
+        if self._band_super is None and self._band_super_x is None:
             ty0, pad_b = pick_band_leg_tile(cfg, K, self.dtype, self.xl)
             if cfg.ydim < cfg.force_band + pad_b:
                 raise ValueError(
@@ -960,6 +987,113 @@ class ShardedTemporalSim(ShardedPallasSim):
                 blk_new, ext(w_halo), ext(e_halo),
                 jnp.bool_(True), jnp.bool_(False), yl=rows)
         return blk_new, bh
+
+    def _super_body_xsuper(self, f_loc, force, q, xs):
+        """K-step super-step on an x-sharded mesh with the PER-SHARD
+        resident-band super-kernel (make_band_super_substep_xsharded): the
+        band block and the force are x-extended by gx ghost columns
+        ppermuted once per super-step alongside the bulk's ghost
+        rows/columns — ONE band launch for all K sub-steps with zero
+        collectives inside (vs the tiled leg's K launches + K psum('x')
+        rounds)."""
+        cfg = self.cfg
+        band = cfg.force_band
+        yl, xl, n_y, n_x = self.yl, self.xl, self.n_y, self.n_x
+        pad = self._ghost_pad
+        xpad = self._xpad
+        sup = self._band_super_x
+        gx = sup.gx
+        us, ep, axl, fx, ay, fy = xs
+        iy = jax.lax.axis_index("y")
+        ix = jax.lax.axis_index("x")
+        y0 = iy * yl
+        x0 = ix * xl
+        aux = self.dtype if self.dtype.itemsize >= 4 else jnp.float32
+        force_dt = force.dtype
+        fwd_y = [(k, (k + 1) % n_y) for k in range(n_y)]
+        bwd_y = [(k, (k - 1) % n_y) for k in range(n_y)]
+        fwd_x = [(k, (k + 1) % n_x) for k in range(n_x)]
+        bwd_x = [(k, (k - 1) % n_x) for k in range(n_x)]
+
+        # --- bulk block + ghosts (one exchange per K steps, as tiled) ----
+        lg = jax.lax.ppermute(f_loc[:, :, xl - xpad:], "x", fwd_x)
+        rg = jax.lax.ppermute(f_loc[:, :, :xpad], "x", bwd_x)
+        f_x = jnp.concatenate([lg, f_loc, rg], axis=2)
+        bot_ghost = jax.lax.ppermute(f_x[:, yl - pad:, :], "y", fwd_y)
+        top_ghost = jax.lax.ppermute(f_x[:, :pad, :], "y", bwd_y)
+
+        # --- band block: y-assembled (replicated), then x-extended by gx
+        ext = band + self._band_pad_s
+        g = jnp.arange(ext, dtype=jnp.int32)
+        own_row = (g >= y0) & (g < y0 + yl)
+        vals = f_loc[:, jnp.clip(g - y0, 0, yl - 1), :]
+        blk = jax.lax.psum(
+            jnp.where(own_row[None, :, None], vals, jnp.zeros_like(vals)),
+            "y")
+        lgb = jax.lax.ppermute(blk[:, :, xl - gx:], "x", fwd_x)
+        rgb = jax.lax.ppermute(blk[:, :, :gx], "x", bwd_x)
+        blk_e = jnp.concatenate([lgb, blk, rgb], axis=2)
+        lgf = jax.lax.ppermute(force[:, :, xl - gx:], "x", fwd_x)
+        rgf = jax.lax.ppermute(force[:, :, :gx], "x", bwd_x)
+        force_e = jnp.concatenate([lgf, force, rgf], axis=2)
+
+        # --- the shard's cilium subset: window-local point coordinates
+        # are lift-invariant, so a cyclic roll of the global per-cilium
+        # blocks realizes the (static-layout) subset
+        shift = jnp.mod(jnp.int32(sup.m0) + ix * jnp.int32(sup.c_step),
+                        jnp.int32(cfg.c_num))
+
+        def sub(a, axis):
+            return jax.lax.slice_in_dim(
+                jnp.roll(a, -shift, axis=axis), 0, sup.c_sub, axis=axis)
+
+        # --- flux flags + ONE band-super launch ---------------------------
+        fxc = cfg.flux_x
+        col_owned = (fxc >= x0) & (fxc < x0 + xl)
+        lane = jnp.clip(fxc - x0, 0, xl - 1) + gx
+        flags_b = jnp.stack([
+            lane.astype(jnp.int32),
+            jnp.logical_and(col_owned, iy == 0).astype(jnp.int32),
+        ]).astype(jnp.int32)
+        fb_e, bh_e, fo_e, flux_band = sup(
+            flags_b, blk_e, force_e, sub(us, 2), sub(ep, 1), sub(axl, 1),
+            sub(fx, 1), sub(ay, 1), sub(fy, 1))
+        f_band_new = fb_e[..., gx:gx + xl]
+        force_new = fo_e[..., gx:gx + xl]
+        bh = bh_e[..., gx:gx + xl]          # exact interior seam rows
+        lgh = jax.lax.ppermute(bh[..., xl - xpad:], "x", fwd_x)
+        rgh = jax.lax.ppermute(bh[..., :xpad], "x", bwd_x)
+        bhalos = jnp.concatenate([lgh, bh, rgh], axis=-1)
+
+        # --- bulk: one ghost-kernel launch --------------------------------
+        lb = jnp.clip(band - y0, 0, yl)
+        inject = jnp.logical_and(y0 <= band, band < y0 + yl)
+        ty_g = self._ghost_substep.ty
+        flags = jnp.stack([
+            inject.astype(jnp.int32),
+            (iy == n_y - 1).astype(jnp.int32),
+            (pad + lb) // ty_g,
+            jnp.int32(xpad) + jnp.clip(fxc - x0, 0, xl - 1),
+            col_owned.astype(jnp.int32),
+        ]).astype(jnp.int32)
+        f_block, flux_bulk = self._ghost_substep(
+            flags, f_x, bot_ghost, top_ghost, bhalos)
+        mid = jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(f_block, pad, pad + yl, axis=1),
+            xpad, xpad + xl, axis=2)
+
+        # scatter the (y-replicated) band rows back into this shard's rows
+        fbp = jnp.concatenate(
+            [f_band_new.astype(mid.dtype),
+             jnp.zeros((9, yl, xl), mid.dtype)], axis=1)
+        band_loc = jax.lax.dynamic_slice_in_dim(fbp, y0, yl, axis=1)
+        rows_g = y0 + jnp.arange(yl, dtype=jnp.int32)
+        f_new = jnp.where((rows_g < band)[None, :, None], band_loc, mid)
+        # flux_band is already [owner & iy==0]-masked inside the kernel
+        flux = (jnp.sum(flux_band).astype(aux)
+                + jnp.sum(flux_bulk).astype(aux))
+        q = q + jax.lax.psum(jax.lax.psum(flux, "x"), "y") / 192.0
+        return f_new, force_new.astype(force_dt), q
 
     def _super_body_tiled(self, f_loc, force, q, xs):
         """K-step super-step with the TILED per-sub-step band leg: the
@@ -1115,6 +1249,11 @@ class ShardedTemporalSim(ShardedPallasSim):
                         cfg, K, halo, aux, u_s[:nk], eps[:nk], anchor[:nk],
                         frac[:nk], n_super)
                     body = self._super_body
+                elif self._band_super_x is not None:
+                    xs_sup = prep_band_super_points(
+                        cfg, K, self._band_super_x.halo, aux, u_s[:nk],
+                        eps[:nk], anchor[:nk], frac[:nk], n_super)
+                    body = self._super_body_xsuper
                 else:
                     def rs(x):
                         return x.reshape((n_super, K) + x.shape[1:])

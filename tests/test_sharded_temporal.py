@@ -245,6 +245,34 @@ def test_sharded_temporal_quirk_x_edge_2d_mesh():
 
 
 @needs_devices
+@pytest.mark.parametrize("n_y,n_x", [(1, 2), (2, 2)])
+def test_sharded_temporal_xsharded_band_super(n_y, n_x):
+    # per-shard resident-band super-kernel on x-sharded meshes: ONE band
+    # launch for all K sub-steps with ZERO collectives inside the
+    # super-step (runtime flux flags; gx ghost columns ppermuted once) —
+    # must match the single-device jnp oracle to f64 round-off.  Needs
+    # xl % c_space == 0, gx (= window + 8K reach = 416 at K=4) <= xl and
+    # xl + 2*gx <= XDIM, hence this wider config.
+    cfg = SimConfig(c_num=16, c_space=128, ydim=256, dtype="float64",
+                    storage="raw")
+    st_ref = _oracle(cfg, 10)
+    sim = ShardedTemporalSim(cfg, make_mesh(n_y, n_x), temporal=4)
+    assert sim._band_super is None
+    assert sim._band_super_x is not None  # the x-sharded super engaged
+    st = sim.run_chunk(sim.init_state(), 10)  # 2 super-steps + 2 remainder
+    np.testing.assert_allclose(
+        np.asarray(st.f), np.asarray(st_ref.f), rtol=1e-13, atol=1e-15)
+    # force atol at f64 round-off: the kernel's window overlap-add
+    # re-associates the stencil scatter's sums (~1e-16 absolute where the
+    # oracle force is exactly zero)
+    np.testing.assert_allclose(
+        np.asarray(st.force), np.asarray(st_ref.force), rtol=1e-10,
+        atol=1e-15)
+    np.testing.assert_allclose(float(st.q), float(st_ref.q), rtol=1e-12,
+                               atol=1e-15)
+
+
+@needs_devices
 @pytest.mark.parametrize("n_y,n_x", [(2, 2), (1, 2), (2, 4)])
 def test_sharded_temporal_2d_mesh(n_y, n_x):
     # x-sharded bulk (ghost COLUMNS ppermuted alongside the ghost rows)
