@@ -1264,17 +1264,27 @@ def _band_super_kernel(
             fosc[c] = fpad[c]
 
     # --- flux-column partial (band rows; force correction included) ------
+    # Three flavors, deliberately: fold/static-lane and the tiled
+    # factory's static two-variant keep the cheap static 128-lane block
+    # slice (single-chip speed); runtime_flux (x-sharded SPMD) must sweep
+    # the full width with a runtime one-hot mask — extracting the column
+    # by masked per-row sums is EXACT (one-hot sums have a single term)
+    # and keeps the divides per-row instead of per-cell.
     if runtime_flux:
         lane = flags[0]
         owned = flags[1] == 1
         w_blk = mom_x.shape[1]
         lmask = (jax.lax.broadcasted_iota(jnp.int32, (band, w_blk), 1)
                  == lane).astype(cdt)
-        ux_b = (mom_x + 0.5 * fosc[0]) / rho
+
+        def csum(p):
+            return jnp.sum(p * lmask, axis=1, keepdims=True)  # [band, 1]
+
+        ux_col = (csum(mom_x) + 0.5 * csum(fosc[0])) / csum(rho)
         onehot = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
                    + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1))
                   == 0).astype(cdt)
-        flux_out[0] = jnp.where(owned, jnp.sum(ux_b * lmask),
+        flux_out[0] = jnp.where(owned, jnp.sum(ux_col),
                                 jnp.zeros((), cdt)) * onehot
     elif flux_lane is None:
         flux_out[0] = jnp.zeros((8, 128), flux_out.dtype)
@@ -1348,6 +1358,39 @@ def _band_super_resident(width, rows, band, fpad_extra, dtype, cdt):
         + 2 * band * 2 * cdt.itemsize                # fosc + force_out
         + 2 * band * cdt.itemsize                    # fpad (per-col share)
     ) * width + 2 * band * fpad_extra * cdt.itemsize
+
+
+def _band_super_reach(cw, halo, K, interpret):
+    """Ghost-column margin gx for x-blocked band super-kernels: edge
+    errors propagate < 8 columns per sub-step through streaming + the
+    delta reach of the overlapping-window IB coupling, plus the
+    one-window missing-force margin from excluded cilia (the bound
+    derived in make_band_super_substep_tiled's docstring) — shared so
+    the tiled and x-sharded factories cannot desync."""
+    reach = (cw + 2 * halo) + 8 * K
+    return reach if interpret else -(-reach // 128) * 128
+
+
+def _band_super_block_windows(c_num, cw, halo, block_w, gx, n_blocks):
+    """Per-block window subsets: every periodic lift of a cilium window
+    lying fully inside each extended block
+    [t*block_w - gx, (t+1)*block_w + gx).  Returns (lifts, win_lo) with
+    RAW (unwrapped) lift indices — callers wrap (% c_num) or assert the
+    cross-block rotation property as needed."""
+    ww = cw + 2 * halo
+    txe = block_w + 2 * gx
+    lifts, win_lo = [], []
+    for t in range(n_blocks):
+        lo_ext = t * block_w - gx
+        tid, tlo = [], []
+        for mt in range(-c_num, 2 * c_num):
+            w0 = mt * cw - halo
+            if w0 >= lo_ext and w0 + ww <= lo_ext + txe:
+                tid.append(mt)
+                tlo.append(w0 - lo_ext)
+        lifts.append(tuple(tid))
+        win_lo.append(tuple(tlo))
+    return lifts, win_lo
 
 
 def _build_band_super_call(cfg, rows, band, K, width, win_lo, fold,
@@ -1578,9 +1621,7 @@ def make_band_super_substep_tiled(cfg, pad: int, n_steps: int,
     cw, halo = _band_super_geometry(cfg, pad, K, walls, dtype, cdt,
                                     interpret, pattern)
     c_num = cfg.c_num
-    ww = cw + 2 * halo
-    reach = ww + 8 * K
-    gx = reach if interpret else -(-reach // 128) * 128
+    gx = _band_super_reach(cw, halo, K, interpret)
     budget = 100 << 20
 
     def ok(tx):
@@ -1610,17 +1651,9 @@ def make_band_super_substep_tiled(cfg, pad: int, n_steps: int,
     # fully inside the extended block.  Tiles are c_space-periodic, so the
     # local window offsets are identical across tiles — assert it, and
     # compile exactly two kernel variants (flux owner / not).
-    ids, win_lo = [], []
-    for t in range(n_tiles):
-        lo_ext = t * tx - gx
-        tid, tlo = [], []
-        for mt in range(-c_num, 2 * c_num):
-            w0 = mt * cw - halo
-            if w0 >= lo_ext and w0 + ww <= lo_ext + txe:
-                tid.append(mt % c_num)
-                tlo.append(w0 - lo_ext)
-        ids.append(tuple(tid))
-        win_lo.append(tuple(tlo))
+    lifts, win_lo = _band_super_block_windows(c_num, cw, halo, tx, gx,
+                                              n_tiles)
+    ids = [tuple(m % c_num for m in t) for t in lifts]
     assert all(w == win_lo[0] for w in win_lo), \
         "tile window layout must be uniform (tile_x % c_space == 0)"
     c_sub = len(ids[0])
@@ -1728,9 +1761,7 @@ def make_band_super_substep_xsharded(cfg, pad: int, n_steps: int,
         raise ValueError(
             f"x-sharded band super needs xl % c_space == 0 (got xl={xl}, "
             f"c_space={cw}): the window layout must be shard-uniform")
-    ww = cw + 2 * halo
-    reach = ww + 8 * K
-    gx = reach if interpret else -(-reach // 128) * 128
+    gx = _band_super_reach(cw, halo, K, interpret)
     if gx > xl:
         raise ValueError(
             f"x-sharded band super needs gx={gx} <= xl={xl} (one-hop "
@@ -1744,18 +1775,8 @@ def make_band_super_substep_xsharded(cfg, pad: int, n_steps: int,
         raise ValueError(
             f"x-sharded band super block ({txe} cols) exceeds VMEM")
 
-    c_num = cfg.c_num
-    ids, win_lo = [], []
-    for t in range(n_x):
-        lo_ext = t * xl - gx
-        tid, tlo = [], []
-        for mt in range(-c_num, 2 * c_num):
-            w0 = mt * cw - halo
-            if w0 >= lo_ext and w0 + ww <= lo_ext + txe:
-                tid.append(mt)
-                tlo.append(w0 - lo_ext)
-        ids.append(tuple(tid))
-        win_lo.append(tuple(tlo))
+    ids, win_lo = _band_super_block_windows(cfg.c_num, cw, halo, xl, gx,
+                                            n_x)
     step = xl // cw
     assert all(w == win_lo[0] for w in win_lo), \
         "shard window layout must be uniform (xl % c_space == 0)"

@@ -988,6 +988,78 @@ class ShardedTemporalSim(ShardedPallasSim):
                 jnp.bool_(True), jnp.bool_(False), yl=rows)
         return blk_new, bh
 
+    # -- shared super-step plumbing (the tiled and xsuper bodies) ---------
+
+    def _x_extend(self, a, g):
+        """ppermute g ghost columns from each x-neighbour onto `a`."""
+        n_x = self.n_x
+        fwd_x = [(k, (k + 1) % n_x) for k in range(n_x)]
+        bwd_x = [(k, (k - 1) % n_x) for k in range(n_x)]
+        w = a.shape[-1]
+        lg = jax.lax.ppermute(a[..., w - g:], "x", fwd_x)
+        rg = jax.lax.ppermute(a[..., :g], "x", bwd_x)
+        return jnp.concatenate([lg, a, rg], axis=-1)
+
+    def _bulk_ghosts(self, f_loc):
+        """x-extend the bulk block by xpad ghost columns (x-sharded
+        meshes) and ring-exchange the pad ghost ROW blocks — the ONE
+        exchange per K steps."""
+        n_y, pad, yl = self.n_y, self._ghost_pad, self.yl
+        f_x = self._x_extend(f_loc, self._xpad) if self.n_x > 1 else f_loc
+        fwd_y = [(k, (k + 1) % n_y) for k in range(n_y)]
+        bwd_y = [(k, (k - 1) % n_y) for k in range(n_y)]
+        bot = jax.lax.ppermute(f_x[:, yl - pad:, :], "y", fwd_y)
+        top = jax.lax.ppermute(f_x[:, :pad, :], "y", bwd_y)
+        return f_x, bot, top
+
+    def _assemble_band_rows(self, f_loc, rows, y0):
+        """y-replicated band block (rows [0, rows) of the shard's own
+        columns): masked contribution + psum('y') — every shard then runs
+        the band leg on TRUE data (the owner row is the critical path
+        anyway)."""
+        g = jnp.arange(rows, dtype=jnp.int32)
+        own = (g >= y0) & (g < y0 + self.yl)
+        vals = f_loc[:, jnp.clip(g - y0, 0, self.yl - 1), :]
+        return jax.lax.psum(
+            jnp.where(own[None, :, None], vals, jnp.zeros_like(vals)), "y")
+
+    def _run_bulk_ghost(self, f_x, bot, top, bhalos, y0, iy, lane,
+                        col_owned):
+        """Runtime shard flags + ONE ghost-kernel launch; returns the
+        shard's own rows/columns of the K-step bulk output plus the raw
+        per-sub-step flux partials."""
+        yl, xl = self.yl, self.xl
+        band = self.cfg.force_band
+        pad, xpad = self._ghost_pad, self._xpad
+        lb = jnp.clip(band - y0, 0, yl)
+        inject = jnp.logical_and(y0 <= band, band < y0 + yl)
+        ty_g = self._ghost_substep.ty
+        flags = jnp.stack([
+            inject.astype(jnp.int32),
+            (iy == self.n_y - 1).astype(jnp.int32),
+            (pad + lb) // ty_g,
+            jnp.int32(xpad) + lane,
+            col_owned.astype(jnp.int32),
+        ]).astype(jnp.int32)
+        f_block, flux_bulk = self._ghost_substep(flags, f_x, bot, top,
+                                                 bhalos)
+        mid = jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(f_block, pad, pad + yl, axis=1),
+            xpad, xpad + xl, axis=2)
+        return mid, flux_bulk
+
+    def _scatter_band_rows(self, band_new, mid, y0):
+        """Replace this shard's band rows with the (y-replicated) band
+        output."""
+        band = self.cfg.force_band
+        yl, xl = self.yl, self.xl
+        fbp = jnp.concatenate(
+            [band_new.astype(mid.dtype),
+             jnp.zeros((9, yl, xl), mid.dtype)], axis=1)
+        band_loc = jax.lax.dynamic_slice_in_dim(fbp, y0, yl, axis=1)
+        rows_g = y0 + jnp.arange(yl, dtype=jnp.int32)
+        return jnp.where((rows_g < band)[None, :, None], band_loc, mid)
+
     def _super_body_xsuper(self, f_loc, force, q, xs):
         """K-step super-step on an x-sharded mesh with the PER-SHARD
         resident-band super-kernel (make_band_super_substep_xsharded): the
@@ -998,8 +1070,7 @@ class ShardedTemporalSim(ShardedPallasSim):
         rounds)."""
         cfg = self.cfg
         band = cfg.force_band
-        yl, xl, n_y, n_x = self.yl, self.xl, self.n_y, self.n_x
-        pad = self._ghost_pad
+        yl, xl = self.yl, self.xl
         xpad = self._xpad
         sup = self._band_super_x
         gx = sup.gx
@@ -1010,32 +1081,14 @@ class ShardedTemporalSim(ShardedPallasSim):
         x0 = ix * xl
         aux = self.dtype if self.dtype.itemsize >= 4 else jnp.float32
         force_dt = force.dtype
-        fwd_y = [(k, (k + 1) % n_y) for k in range(n_y)]
-        bwd_y = [(k, (k - 1) % n_y) for k in range(n_y)]
-        fwd_x = [(k, (k + 1) % n_x) for k in range(n_x)]
-        bwd_x = [(k, (k - 1) % n_x) for k in range(n_x)]
 
         # --- bulk block + ghosts (one exchange per K steps, as tiled) ----
-        lg = jax.lax.ppermute(f_loc[:, :, xl - xpad:], "x", fwd_x)
-        rg = jax.lax.ppermute(f_loc[:, :, :xpad], "x", bwd_x)
-        f_x = jnp.concatenate([lg, f_loc, rg], axis=2)
-        bot_ghost = jax.lax.ppermute(f_x[:, yl - pad:, :], "y", fwd_y)
-        top_ghost = jax.lax.ppermute(f_x[:, :pad, :], "y", bwd_y)
+        f_x, bot_ghost, top_ghost = self._bulk_ghosts(f_loc)
 
         # --- band block: y-assembled (replicated), then x-extended by gx
-        ext = band + self._band_pad_s
-        g = jnp.arange(ext, dtype=jnp.int32)
-        own_row = (g >= y0) & (g < y0 + yl)
-        vals = f_loc[:, jnp.clip(g - y0, 0, yl - 1), :]
-        blk = jax.lax.psum(
-            jnp.where(own_row[None, :, None], vals, jnp.zeros_like(vals)),
-            "y")
-        lgb = jax.lax.ppermute(blk[:, :, xl - gx:], "x", fwd_x)
-        rgb = jax.lax.ppermute(blk[:, :, :gx], "x", bwd_x)
-        blk_e = jnp.concatenate([lgb, blk, rgb], axis=2)
-        lgf = jax.lax.ppermute(force[:, :, xl - gx:], "x", fwd_x)
-        rgf = jax.lax.ppermute(force[:, :, :gx], "x", bwd_x)
-        force_e = jnp.concatenate([lgf, force, rgf], axis=2)
+        blk = self._assemble_band_rows(f_loc, band + self._band_pad_s, y0)
+        blk_e = self._x_extend(blk, gx)
+        force_e = self._x_extend(force, gx)
 
         # --- the shard's cilium subset: window-local point coordinates
         # are lift-invariant, so a cyclic roll of the global per-cilium
@@ -1061,34 +1114,13 @@ class ShardedTemporalSim(ShardedPallasSim):
         f_band_new = fb_e[..., gx:gx + xl]
         force_new = fo_e[..., gx:gx + xl]
         bh = bh_e[..., gx:gx + xl]          # exact interior seam rows
-        lgh = jax.lax.ppermute(bh[..., xl - xpad:], "x", fwd_x)
-        rgh = jax.lax.ppermute(bh[..., :xpad], "x", bwd_x)
-        bhalos = jnp.concatenate([lgh, bh, rgh], axis=-1)
+        bhalos = self._x_extend(bh, xpad)
 
-        # --- bulk: one ghost-kernel launch --------------------------------
-        lb = jnp.clip(band - y0, 0, yl)
-        inject = jnp.logical_and(y0 <= band, band < y0 + yl)
-        ty_g = self._ghost_substep.ty
-        flags = jnp.stack([
-            inject.astype(jnp.int32),
-            (iy == n_y - 1).astype(jnp.int32),
-            (pad + lb) // ty_g,
-            jnp.int32(xpad) + jnp.clip(fxc - x0, 0, xl - 1),
-            col_owned.astype(jnp.int32),
-        ]).astype(jnp.int32)
-        f_block, flux_bulk = self._ghost_substep(
-            flags, f_x, bot_ghost, top_ghost, bhalos)
-        mid = jax.lax.slice_in_dim(
-            jax.lax.slice_in_dim(f_block, pad, pad + yl, axis=1),
-            xpad, xpad + xl, axis=2)
-
-        # scatter the (y-replicated) band rows back into this shard's rows
-        fbp = jnp.concatenate(
-            [f_band_new.astype(mid.dtype),
-             jnp.zeros((9, yl, xl), mid.dtype)], axis=1)
-        band_loc = jax.lax.dynamic_slice_in_dim(fbp, y0, yl, axis=1)
-        rows_g = y0 + jnp.arange(yl, dtype=jnp.int32)
-        f_new = jnp.where((rows_g < band)[None, :, None], band_loc, mid)
+        # --- bulk: one ghost-kernel launch + band scatter-back ------------
+        mid, flux_bulk = self._run_bulk_ghost(
+            f_x, bot_ghost, top_ghost, bhalos, y0, iy,
+            jnp.clip(fxc - x0, 0, xl - 1), col_owned)
+        f_new = self._scatter_band_rows(f_band_new, mid, y0)
         # flux_band is already [owner & iy==0]-masked inside the kernel
         flux = (jnp.sum(flux_band).astype(aux)
                 + jnp.sum(flux_bulk).astype(aux))
@@ -1110,8 +1142,7 @@ class ShardedTemporalSim(ShardedPallasSim):
 
         cfg = self.cfg
         band = cfg.force_band
-        yl, xl, n_y, n_x = self.yl, self.xl, self.n_y, self.n_x
-        pad = self._ghost_pad
+        yl, xl, n_x = self.yl, self.xl, self.n_x
         xpad = self._xpad
         K = self.temporal
         s_pts, u_s, eps, anchor, frac = xs
@@ -1121,31 +1152,14 @@ class ShardedTemporalSim(ShardedPallasSim):
         x0 = ix * xl
         aux = self.dtype if self.dtype.itemsize >= 4 else jnp.float32
         force_dt = force.dtype
-        fwd_y = [(k, (k + 1) % n_y) for k in range(n_y)]
-        bwd_y = [(k, (k - 1) % n_y) for k in range(n_y)]
 
         # --- x/y-extended bulk block + ghosts (ONE exchange per K steps)
-        if n_x > 1:
-            fwd_x = [(k, (k + 1) % n_x) for k in range(n_x)]
-            bwd_x = [(k, (k - 1) % n_x) for k in range(n_x)]
-            lg = jax.lax.ppermute(f_loc[:, :, xl - xpad:], "x", fwd_x)
-            rg = jax.lax.ppermute(f_loc[:, :, :xpad], "x", bwd_x)
-            f_x = jnp.concatenate([lg, f_loc, rg], axis=2)
-        else:
-            f_x = f_loc
-        bot_ghost = jax.lax.ppermute(f_x[:, yl - pad:, :], "y", fwd_y)
-        top_ghost = jax.lax.ppermute(f_x[:, :pad, :], "y", bwd_y)
+        f_x, bot_ghost, top_ghost = self._bulk_ghosts(f_loc)
 
         # --- band block: rows [0, band+pad_b) of the shard's own columns,
-        # assembled across the y-shards (then y-replicated: every shard
-        # runs the band leg — the owner row is the critical path anyway)
+        # assembled across the y-shards (y-replicated)
         ext = band + self._band_pad
-        g = jnp.arange(ext, dtype=jnp.int32)
-        own_row = (g >= y0) & (g < y0 + yl)
-        vals = f_loc[:, jnp.clip(g - y0, 0, yl - 1), :]
-        blk = jax.lax.psum(
-            jnp.where(own_row[None, :, None], vals, jnp.zeros_like(vals)),
-            "y")
+        blk = self._assemble_band_rows(f_loc, ext, y0)
 
         # --- K band sub-steps with per-sub-step IB ------------------------
         fx_col = cfg.flux_x
@@ -1194,34 +1208,12 @@ class ShardedTemporalSim(ShardedPallasSim):
             bhs.append(bh)
         bhalos = jnp.stack(bhs)                          # [K, 9, 8, xl]
         if n_x > 1:
-            lgb = jax.lax.ppermute(bhalos[..., xl - xpad:], "x", fwd_x)
-            rgb = jax.lax.ppermute(bhalos[..., :xpad], "x", bwd_x)
-            bhalos = jnp.concatenate([lgb, bhalos, rgb], axis=-1)
+            bhalos = self._x_extend(bhalos, xpad)
 
-        # --- bulk: one ghost-kernel launch for K sub-steps ----------------
-        lb = jnp.clip(band - y0, 0, yl)
-        inject = jnp.logical_and(y0 <= band, band < y0 + yl)
-        ty_g = self._ghost_substep.ty
-        flags = jnp.stack([
-            inject.astype(jnp.int32),
-            (iy == n_y - 1).astype(jnp.int32),
-            (pad + lb) // ty_g,
-            jnp.int32(xpad) + lane,
-            col_owned.astype(jnp.int32),
-        ]).astype(jnp.int32)
-        f_block, flux_bulk = self._ghost_substep(
-            flags, f_x, bot_ghost, top_ghost, bhalos)
-        mid = jax.lax.slice_in_dim(
-            jax.lax.slice_in_dim(f_block, pad, pad + yl, axis=1),
-            xpad, xpad + xl, axis=2)
-
-        # scatter the (y-replicated) band rows back into this shard's rows
-        fbp = jnp.concatenate(
-            [blk[:, :band].astype(mid.dtype),
-             jnp.zeros((9, yl, xl), mid.dtype)], axis=1)
-        band_loc = jax.lax.dynamic_slice_in_dim(fbp, y0, yl, axis=1)
-        rows_g = y0 + jnp.arange(yl, dtype=jnp.int32)
-        f_new = jnp.where((rows_g < band)[None, :, None], band_loc, mid)
+        # --- bulk: one ghost-kernel launch + band scatter-back ------------
+        mid, flux_bulk = self._run_bulk_ghost(
+            f_x, bot_ghost, top_ghost, bhalos, y0, iy, lane, col_owned)
+        f_new = self._scatter_band_rows(blk[:, :band], mid, y0)
         flux = (jnp.where(iy == 0, flux_band, jnp.zeros_like(flux_band))
                 + jnp.sum(flux_bulk).astype(flux_band.dtype))
         q = q + jax.lax.psum(jax.lax.psum(flux, "x"), "y") / 192.0
