@@ -171,6 +171,13 @@ class SimLog:
             for k, v in (extra or {}).items():
                 fh.write(f"{k}: {v}\n")
 
+    def write_extra(self, extra: dict):
+        """Append key/value lines (e.g. the resolved execution config of a
+        resumed run, whose header was written by the original run)."""
+        with open(self.path, "a") as fh:
+            for k, v in extra.items():
+                fh.write(f"{k}: {v}\n")
+
     def write_resume_note(self, it: int):
         """Appended (not truncating) when a run resumes from a checkpoint, so
         the original header and history survive."""

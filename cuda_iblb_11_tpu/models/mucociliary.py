@@ -108,18 +108,30 @@ class MucociliarySim:
         # boundary/IB quantities stay >= f32 even with bf16 fluid storage
         self.aux_dtype = jnp.promote_types(self.dtype, jnp.float32)
         self.cilia = CiliaModel(cfg, dtype=self.aux_dtype, pattern=pattern)
+        self.backend_reason = None
         if backend == "auto":
-            # fused Pallas kernel where it applies; jnp oracle otherwise
-            pallas_ok = (
-                jax.default_backend() == "tpu"
-                and cfg.xdim % 128 == 0
-                and cfg.ydim % 8 == 0
-                and self.dtype in (jnp.float32, jnp.bfloat16)
-                and walls.left == "periodic"
-                and walls.bottom == "noslip"
-                and walls.top in ("slip", "noslip")
-            )
-            backend = "pallas" if pallas_ok else "jnp"
+            # fused Pallas kernel where it applies; jnp oracle otherwise.
+            # Each failed predicate is recorded so the run artifacts can
+            # say WHY auto fell back (e.g. the reference's own default
+            # arguments, main.cu:267-296 -> XDIM=288, fail the 128-lane
+            # alignment and route to the jnp oracle).
+            reasons = []
+            if jax.default_backend() != "tpu":
+                reasons.append(
+                    f"platform is {jax.default_backend()}, not tpu")
+            if cfg.xdim % 128:
+                reasons.append(f"xdim={cfg.xdim} is not a multiple of 128")
+            if cfg.ydim % 8:
+                reasons.append(f"ydim={cfg.ydim} is not a multiple of 8")
+            if self.dtype not in (jnp.float32, jnp.bfloat16):
+                reasons.append(f"dtype {self.dtype} (pallas kernel is "
+                               "f32/bf16 only)")
+            if not (walls.left == "periodic" and walls.bottom == "noslip"
+                    and walls.top in ("slip", "noslip")):
+                reasons.append("non-reference wall spec")
+            backend = "jnp" if reasons else "pallas"
+            self.backend_reason = ("auto: " + "; ".join(reasons)
+                                   if reasons else "auto: eligible")
         self.backend = backend
         self.storage = cfg.storage_resolved
         self.temporal = int(temporal)
@@ -160,8 +172,10 @@ class MucociliarySim:
                     )
 
                     pad_s = -(-self.temporal // 8) * 8
-                    for factory in (make_band_super_substep,
-                                    make_band_super_substep_tiled):
+                    for factory, leg in (
+                            (make_band_super_substep, "band_super_whole"),
+                            (make_band_super_substep_tiled,
+                             "band_super_xtiled")):
                         # whole-domain kernel first; the x-tiled variant
                         # when VMEM rejects it (XDIM=8192-class grids)
                         try:
@@ -173,6 +187,7 @@ class MucociliarySim:
                                 self.dtype, forcing=forcing,
                                 storage=self.storage, pattern=pattern)
                             self._band_pad_s = pad_s
+                            self._band_leg = leg
                             break
                         except ValueError:
                             self._band_super = None
@@ -184,6 +199,8 @@ class MucociliarySim:
                 # kernel exposes its row band-1 f1 as the bulk's seam halo
                 # — everything stays inside Mosaic, so the temporal path
                 # remains bit-identical to the single-step kernel.
+                if self._band_super is None:
+                    self._band_leg = "per_substep"
                 ty0, pad = pick_band_leg_tile(cfg, self.temporal,
                                               self.dtype)
                 if cfg.ydim - band < pad:
@@ -213,6 +230,29 @@ class MucociliarySim:
 
     def init_state(self) -> FlowState:
         return initial_state(self.cfg, self.dtype)
+
+    def resolved_config(self) -> dict:
+        """The ACTUAL execution configuration after every auto/fallback
+        decision — the analogue of the reference logging its real launch
+        config (threads/blocks, main.cu:782-783) rather than what was
+        asked for.  Written into SimLog and the runner summary so perf
+        claims are reproducible from a run's own artifacts."""
+        if self.temporal > 1:
+            leg = self._band_leg
+        else:
+            leg = "single_step" if self.backend == "pallas" else "jnp"
+        return {
+            "backend": self.backend,
+            "backend_reason": self.backend_reason,
+            "band_leg": leg,
+            "storage": self.storage,
+            "dtype": str(self.dtype),
+            "temporal": self.temporal,
+            "forcing": self.forcing,
+            "ib_path": ("stencil_quirk" if self.ib_x_edge == "reference"
+                        else "band_matmul"),
+            "mesh": None,
+        }
 
     def _fluid_ib_step(self, f, force, q, u_s, eps, anchored, s=None):
         """Fluid + IB + flux for one step, given this step's boundary data.

@@ -163,6 +163,28 @@ class ShardedMucociliarySim:
         # and _local_step, AFTER a subclass ctor has swapped those in
         self._step_sharded = None
 
+    # resolved-config labels (overridden by the pallas subclasses)
+    _resolved_backend = "jnp"
+    _kernel_path = "jnp_per_step"
+    _ib_periodic_path = "stencil"
+
+    def resolved_config(self) -> dict:
+        """The ACTUAL execution configuration after every fallback — see
+        models.mucociliary.MucociliarySim.resolved_config (same contract;
+        recorded into SimLog + the runner summary)."""
+        return {
+            "backend": self._resolved_backend,
+            "backend_reason": None,
+            "band_leg": self._kernel_path,
+            "storage": self.storage,
+            "dtype": str(self.dtype),
+            "temporal": getattr(self, "temporal", 1),
+            "forcing": self.forcing,
+            "ib_path": ("stencil_quirk" if self.ib_x_edge == "reference"
+                        else self._ib_periodic_path),
+            "mesh": [self.n_y, self.n_x],
+        }
+
     # -- sharding helpers ---------------------------------------------------
 
     def grid_sharding(self):
@@ -458,6 +480,10 @@ class ShardedPallasSim(_ShardedPallasChunkMixin, ShardedMucociliarySim):
          columns [2, band, xl]; the flux integral is a masked column sum
          + psum (ImmersedBoundary.cu:259-264 semantics).
     """
+
+    _resolved_backend = "pallas"
+    _kernel_path = "sharded_per_step"
+    _ib_periodic_path = "band_matmul"
 
     def __init__(self, cfg: SimConfig, mesh: Mesh,
                  walls: ref.WallSpec = ref.REFERENCE_WALLS,
@@ -830,13 +856,15 @@ class ShardedTemporalSim(ShardedPallasSim):
             # whole-domain kernel first; the x-tiled variant when VMEM
             # rejects it (8192-wide grids under (n_y, 1) slicing keep the
             # full width per shard)
-            for factory in (make_band_super_substep,
-                            make_band_super_substep_tiled):
+            for factory, leg in (
+                    (make_band_super_substep, "band_super_whole"),
+                    (make_band_super_substep_tiled, "band_super_xtiled")):
                 try:
                     self._band_super = factory(
                         cfg, pad_s, K, walls, self.dtype, forcing=forcing,
                         storage=self.storage, interpret=interpret,
                         pattern=pattern)
+                    self._kernel_path = leg
                     break
                 except ValueError:
                     pass
@@ -855,9 +883,11 @@ class ShardedTemporalSim(ShardedPallasSim):
                     cfg, pad_s, K, walls, self.dtype, forcing=forcing,
                     storage=self.storage, interpret=interpret,
                     pattern=pattern, xl=self.xl, n_x=self.n_x)
+                self._kernel_path = "band_super_xsharded"
             except ValueError:
                 pass
         if self._band_super is None and self._band_super_x is None:
+            self._kernel_path = "per_substep_tiled"
             ty0, pad_b = pick_band_leg_tile(cfg, K, self.dtype, self.xl)
             if cfg.ydim < cfg.force_band + pad_b:
                 raise ValueError(

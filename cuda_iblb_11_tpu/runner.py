@@ -191,6 +191,24 @@ def _run_body(cfg: SimConfig, output_root: str = "Data/Test",
         extra["Mesh"] = mesh
     if device is not None:
         extra["Device"] = str(device)
+    # The RESOLVED execution configuration, after every auto/fallback
+    # decision — the analogue of the reference recording its real launch
+    # config (main.cu:782-783), so a run's perf class is reproducible
+    # from its own artifacts.
+    resolved = sim.resolved_config()
+    extra["Resolved backend"] = resolved["backend"] + (
+        f" ({resolved['backend_reason']})"
+        if resolved["backend_reason"] else "")
+    extra["Kernel path"] = resolved["band_leg"]
+    extra["Storage"] = resolved["storage"]
+    extra["IB path"] = resolved["ib_path"]
+    extra["Temporal K"] = resolved["temporal"]
+    if not quiet:
+        print(f"Execution: backend={extra['Resolved backend']} "
+              f"kernel={resolved['band_leg']} "
+              f"storage={resolved['storage']} "
+              f"temporal={resolved['temporal']} "
+              f"ib={resolved['ib_path']}")
 
     if resume_from:
         if os.path.isdir(resume_from):  # orbax checkpoints are directories
@@ -216,6 +234,12 @@ def _run_body(cfg: SimConfig, output_root: str = "Data/Test",
         keep = _resume_flux_rows(paths.flux_path, cfg, it0, interval)
         flux = FluxWriter(paths.flux_path, cfg, keep_rows=keep)
         simlog.write_resume_note(it0)
+        # a resume may change the execution path (different backend /
+        # mesh / machine) — record the resumed run's resolved config too
+        simlog.write_extra({k: v for k, v in extra.items()
+                            if k.startswith(("Resolved", "Kernel",
+                                             "Storage", "IB path",
+                                             "Temporal"))})
         if not quiet:
             print(f"Resumed from {resume_from} at it={it0}")
     else:
@@ -301,6 +325,7 @@ def _run_body(cfg: SimConfig, output_root: str = "Data/Test",
         "mlups": meter.mlups,
         "q_final": float(state.q),
         "flux_path": paths.flux_path,
+        "resolved": resolved,
     }
     if not quiet:
         print(f"Total runtime: {runtime:.2f}s  ({meter.mlups:.1f} MLUPS)")

@@ -18,6 +18,13 @@ and prints the fitted power law error ~ a * steps^p for each pair.
 
 Run:  python scripts/accuracy_horizon.py cpu
       python scripts/accuracy_horizon.py tpu
+      python scripts/accuracy_horizon.py cpu_full   # full 100k-step beat, 192^2
+      python scripts/accuracy_horizon.py cpu_mid    # full beat, 384x192 mid grid
+
+The cpu_full / cpu_mid legs measure (not extrapolate) the f32-vs-f64
+error over the reference's complete 100,000-step beat period
+(`/root/reference/CUDA_IBLB_11/main.cu:300` ITERATIONS = T*I_pow with the
+default T=1e5, I_pow=1): VERDICT r3 item 1.
 """
 
 from __future__ import annotations
@@ -37,7 +44,7 @@ import time
 
 LEG = sys.argv[1] if len(sys.argv) > 1 else "cpu"
 
-if LEG == "cpu":
+if LEG.startswith("cpu"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -118,6 +125,33 @@ def main():
         }
         horizons = [500, 1000, 2000, 4000, 8000, 12000, 20000]
         rows += walk(pairs, horizons, "cpu_192sq_f32_vs_f64")
+    elif LEG == "cpu_full":
+        # the reference's own full beat: 100k steps at its minimum legal
+        # grid height (YDIM=192, main.cu:271), 4 cilia -> XDIM=192
+        cfg64 = SimConfig(c_num=4, c_space=48, dtype="float64",
+                          storage="raw")
+        pairs = {
+            "f64_oracle": MucociliarySim(cfg64, backend="jnp"),
+            "f32": MucociliarySim(
+                cfg64.replace(dtype="float32", storage="auto"),
+                backend="jnp"),
+        }
+        horizons = [500, 1000, 2000, 4000, 8000, 12000, 20000,
+                    35000, 50000, 70000, 100000]
+        rows += walk(pairs, horizons, "cpu_full_192sq_f32_vs_f64")
+    elif LEG == "cpu_mid":
+        # mid-size grid (384x192, 8 cilia) to show the growth law is not
+        # grid-specific; full beat
+        cfg64 = SimConfig(c_num=8, c_space=48, dtype="float64",
+                          storage="raw")
+        pairs = {
+            "f64_oracle": MucociliarySim(cfg64, backend="jnp"),
+            "f32": MucociliarySim(
+                cfg64.replace(dtype="float32", storage="auto"),
+                backend="jnp"),
+        }
+        horizons = [5000, 20000, 50000, 100000]
+        rows += walk(pairs, horizons, "cpu_mid_384x192_f32_vs_f64")
     elif LEG == "tpu":
         assert jax.default_backend() == "tpu", jax.devices()
         cfg = SimConfig(c_num=16, c_space=128, ydim=2048, dtype="float32")

@@ -119,30 +119,119 @@ def make_manual_dma_copy(ty, depth=2):
     return jax.jit(call)
 
 
-def main():
-    print(f"devices: {jax.devices()}", file=sys.stderr)
-    x = jnp.zeros((NP, Y, X), jnp.float32) + 0.1
-    nbytes = 2 * NP * Y * X * 4  # read + write
+_STEP_SIM = None
 
+
+def step_kernel_implied_gbs():
+    """Implied combined HBM bandwidth of the production single-step fused
+    kernel at 2048^2 (f32 deviatoric): each site update moves 72 bytes at
+    minimum (9 f reads + 9 f writes x 4 B; moments/equilibrium/forcing
+    live in registers/VMEM), so implied GB/s = MLUPS * 72e6 / 1e9."""
+    from cuda_iblb_11_tpu.core.config import SimConfig
+    from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
+
+    global _STEP_SIM
+    if _STEP_SIM is None:
+        cfg = SimConfig(c_num=16, c_space=128, ydim=2048, dtype="float32")
+        # one sim for all reps: jit caches on the (static) sim object
+        _STEP_SIM = MucociliarySim(cfg, backend="pallas")
+    sim = _STEP_SIM
+    cfg = sim.cfg
+    n = 256
+    # warm with the SAME chunk length: _run_scan compiles per n_steps, so
+    # a different warm length would time a fresh compile
+    st = sim.run_chunk(sim.init_state(), n)
+    _ = float(st.q)
+    t0 = time.perf_counter()
+    st = sim.run_chunk(st, n)
+    _ = float(st.q)
+    dt = (time.perf_counter() - t0) / n
+    mlups = cfg.size / dt / 1e6
+    gbs = mlups * 72e6 / 1e9
+    print(f"{'fused step kernel (implied @72 B/site)':48s} "
+          f"{dt*1e3:8.3f} ms  {gbs:7.1f} GB/s combined "
+          f"({mlups:.0f} MLUPS)")
+    return gbs
+
+
+def build_probes():
+    """(name, jitted_fn) list, built once so repeated reps reuse the
+    compiled executables."""
     def xla_copy(v):
         return v * 1.0000001
 
-    bench(jax.jit(xla_copy), x, nbytes, name="XLA elementwise scale")
-
+    items = [("XLA elementwise scale", jax.jit(xla_copy))]
     for ty in (32, 64, 128, 256):
-        bench(make_pallas_copy(ty), x, nbytes,
-              name=f"pallas auto-pipelined copy ty={ty}")
-    bench(make_pallas_copy(128, semantics="parallel"), x, nbytes,
-          name="pallas copy ty=128 parallel-sem")
-    bench(make_pallas_copy(128, semantics="arbitrary"), x, nbytes,
-          name="pallas copy ty=128 arbitrary-sem")
-    bench(make_pallas_copy(128, kern=scale_kernel), x, nbytes,
-          name="pallas scale ty=128")
-    bench(make_pallas_copy(128, alias=True), x, nbytes,
-          name="pallas copy ty=128 io-aliased")
+        items.append((f"pallas auto-pipelined copy ty={ty}",
+                      make_pallas_copy(ty)))
+    items.append(("pallas copy ty=128 parallel-sem",
+                  make_pallas_copy(128, semantics="parallel")))
+    items.append(("pallas copy ty=128 arbitrary-sem",
+                  make_pallas_copy(128, semantics="arbitrary")))
+    items.append(("pallas scale ty=128",
+                  make_pallas_copy(128, kern=scale_kernel)))
+    items.append(("pallas copy ty=128 io-aliased",
+                  make_pallas_copy(128, alias=True)))
     for ty, depth in ((64, 2), (64, 3), (128, 2), (128, 3), (256, 2)):
-        bench(make_manual_dma_copy(ty, depth), x, nbytes,
-              name=f"pallas manual DMA ty={ty} depth={depth}")
+        items.append((f"pallas manual DMA ty={ty} depth={depth}",
+                      make_manual_dma_copy(ty, depth)))
+    return items
+
+
+def main():
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    reps = 1
+    out_json = None
+    if "--json" in sys.argv:
+        # N repetitions of the whole suite; median/min/max per pattern to
+        # validation/bandwidth.json (VERDICT r3 item 6: the roofline
+        # argument must cite a committed table with spread, not a one-off
+        # number — probes vary +-30% between days on this shared chip)
+        i = sys.argv.index("--json")
+        reps = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 5
+        out_json = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), "..",
+            "validation", "bandwidth.json")
+
+    x = jnp.zeros((NP, Y, X), jnp.float32) + 0.1
+    nbytes = 2 * NP * Y * X * 4  # read + write
+    items = build_probes()
+    runs = {name: [] for name, _ in items}
+    runs["fused step kernel (implied @72 B/site)"] = []
+    for rep in range(reps):
+        if reps > 1:
+            print(f"--- rep {rep + 1}/{reps} ---")
+        for name, fn in items:
+            # io-aliased probe donates its input; give it its own buffer
+            arg = (jnp.zeros((NP, Y, X), jnp.float32) + 0.1
+                   if "io-aliased" in name else x)
+            runs[name].append(bench(fn, arg, nbytes, name=name))
+        runs["fused step kernel (implied @72 B/site)"].append(
+            step_kernel_implied_gbs())
+
+    if out_json:
+        import json
+        import statistics
+
+        table = {
+            name: {
+                "median_gbs": round(statistics.median(v), 1),
+                "min_gbs": round(min(v), 1),
+                "max_gbs": round(max(v), 1),
+                "runs": [round(g, 1) for g in v],
+            }
+            for name, v in runs.items()
+        }
+        payload = {
+            "date": time.strftime("%Y-%m-%d"),
+            "device": str(jax.devices()[0]),
+            "reps": reps,
+            "shape": f"[{NP}, {Y}, {X}] f32, read+write",
+            "patterns": table,
+        }
+        with open(out_json, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        print(f"wrote {out_json}")
 
 
 if __name__ == "__main__":

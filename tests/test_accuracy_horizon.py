@@ -1,14 +1,15 @@
 """Long-horizon precision gates (BASELINE accuracy axis, CI-enforced).
 
 Measured f32-vs-f64 velocity rel-L2 on the reference channel (192^2,
-4 cilia, trt_split, deviatoric f32 storage) grows ~LINEARLY:
-err ~ 8.2e-9 * n^1.03 (fit over n = 500..20,000; 6.7e-6 @ 500, 1.7e-5 @
-2,000, 3.8e-5 @ 4,000, 7.4e-5 @ 8,000, 3.8e-4 @ 20,000; CPU, r3
-2026-08-17, scripts/accuracy_horizon.py -> validation/
-accuracy_horizon.json).  Extrapolated to the reference's full 100k-step
-beat: ~1.2e-3.  The <1e-5 BASELINE bound therefore holds for horizons
-up to ~1,000 steps — every "<1e-5" claim in README/BASELINE.md states
-this horizon.
+4 cilia, trt_split, deviatoric f32 storage) grows ~LINEARLY early:
+err ~ 8.2e-9 * n^1.03 (6.7e-6 @ 500, 3.8e-5 @ 4,000, 3.8e-4 @ 20,000)
+then SATURATES: measured over the complete 100,000-step beat (r4,
+scripts/accuracy_horizon.py cpu_full — no extrapolation) the velocity
+error is 4.1e-4 and the flux-Q error 3.6e-4 (plateau from ~20k steps:
+4.1e-4 @ 50k, 4.5e-4 @ 70k, 4.1e-4 @ 100k).  The <1e-5 BASELINE bound
+holds for horizons up to ~1,000 steps — every "<1e-5" claim in
+README/BASELINE.md states this horizon — and the full-beat science
+gate (flux < 1%) passes 27x over.
 
 At production scale (2048^2 on a real v5e), the single-step f32 kernel
 measured 4.4e-6 vs a 2048^2 f64 CPU oracle at 512 steps, and the primary
@@ -25,6 +26,7 @@ number); the loose bound here documents its magnitude.
 """
 
 import jax.numpy as jnp
+import pytest
 
 from cuda_iblb_11_tpu.core.config import SimConfig
 from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
@@ -99,3 +101,61 @@ def test_band_super_f32_velocity_error_500_steps():
     stsup = ssup.run_chunk(ssup.init_state(), 500)
     l2 = _rel_l2(_velocity(ssup, stsup), _velocity(s64, st64))
     assert l2 < 1.0e-5, l2  # the BASELINE bound at bench horizon
+
+
+def test_fullbeat_errors_are_measured_and_gated():
+    # VERDICT r3 item 1: the full-beat (100,000-step) f32-vs-f64 errors
+    # must be MEASURED, not extrapolated.  scripts/accuracy_horizon.py
+    # cpu_full walks both sims over the reference's complete beat period
+    # and records every horizon; this gate enforces the committed
+    # measurement — the science observable (cumulative flux Q) must stay
+    # under 1%, the velocity field under 2e-3 (measured ~5e-4 at 70k).
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "validation",
+                        "accuracy_horizon.json")
+    with open(path) as fh:
+        data = json.load(fh)
+    assert "cpu_full" in data, (
+        "full-beat measurement missing: run "
+        "`python scripts/accuracy_horizon.py cpu_full`")
+    rows = {(r["pair"], r["steps"]): r["rel_l2"]
+            for r in data["cpu_full"]["rows"]}
+    assert ("f32_vs_f64_oracle", 100000) in rows
+    assert rows[("f32_vs_f64_oracle_flux", 100000)] < 0.01, rows
+    assert rows[("f32_vs_f64_oracle", 100000)] < 2e-3, rows
+    # the mid-size grid confirms the growth law is not grid-specific
+    if "cpu_mid" in data:
+        mid = {(r["pair"], r["steps"]): r["rel_l2"]
+               for r in data["cpu_mid"]["rows"]}
+        assert mid[("f32_vs_f64_oracle_flux", 100000)] < 0.01, mid
+
+
+@pytest.mark.slow
+def test_fullbeat_f32_flux_error_recompute_vs_golden():
+    # The full recompute (slow tier, ~20 min CPU): run the f32 production
+    # storage mode over the complete 100k-step beat and gate the flux
+    # error <1% against the committed f64 golden
+    # (scripts/make_fullbeat_golden.py).
+    import os
+
+    import numpy as np
+
+    path = os.path.join(os.path.dirname(__file__), "..", "validation",
+                        "fullbeat_f64_192sq.npz")
+    if not os.path.exists(path):
+        pytest.skip("golden missing: run scripts/make_fullbeat_golden.py")
+    gold = np.load(path)
+    s32 = MucociliarySim(CFG64.replace(dtype="float32", storage="auto"),
+                         backend="jnp")
+    st = s32.init_state()
+    done = 0
+    while done < int(gold["steps"]):
+        st = s32.run_chunk(st, min(10_000, int(gold["steps"]) - done))
+        done = int(st.it)
+    q_err = abs(float(st.q) - float(gold["q"])) / abs(float(gold["q"]))
+    assert q_err < 0.01, q_err
+    u = _velocity(s32, st)
+    l2 = _rel_l2(u, jnp.asarray(gold["u"]))
+    assert l2 < 2e-3, l2

