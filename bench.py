@@ -81,6 +81,9 @@ def main():
     try:
         kw = dict(temporal=TEMPORAL_K) if on_tpu else {}
         sim = MucociliarySim(cfg, backend=sim_backend, **kw)
+        # record the RESOLVED execution path so the benchmark artifact is
+        # self-describing (same contract as SimLog, VERDICT r3 item 3)
+        diag["resolved"] = sim.resolved_config()
         state, dt = timed_run(sim, steps, windows=3 if on_tpu else 1)
         mlups = cfg.size * steps / dt / 1e6
         log(f"f32 temporal K={TEMPORAL_K if on_tpu else 1}: {steps} steps "

@@ -1076,7 +1076,7 @@ def _band_super_kernel(
     *refs,
     rows, band, xdim, n_steps, c_num, cw, halo, npt, tau, tau2,
     forcing, storage, flux_lane, cdt, walls, win_lo, fold,
-    mxu_full_precision=True, runtime_flux=False,
+    mxu_full_precision=True, runtime_flux=False, wwin=None,
 ):
     """Resident-band temporal super-kernel: ALL K band sub-steps plus the
     full IB coupling in ONE launch (see make_band_super_substep).
@@ -1114,7 +1114,12 @@ def _band_super_kernel(
 
     s = pl.program_id(0)
     K = n_steps
-    W = cw + 2 * halo  # per-cilium window width (128-aligned)
+    # per-window width: the natural per-cilium window (128-aligned), or
+    # the caller's wider phase-tolerant window (x-sharded meshes whose
+    # xl is not a c_space multiple hold their cilia at a common runtime
+    # phase r in [0, cw) within uniform-grid windows of width W + cw;
+    # the callers bake r into the runtime point anchors)
+    W = wwin if wwin is not None else cw + 2 * halo
 
     @pl.when(s == 0)
     def _load():
@@ -1396,11 +1401,12 @@ def _band_super_block_windows(c_num, cw, halo, block_w, gx, n_blocks):
 def _build_band_super_call(cfg, rows, band, K, width, win_lo, fold,
                            flux_lane, c_sub, halo, dtype, cdt, walls,
                            forcing, storage, interpret,
-                           runtime_flux=False):
+                           runtime_flux=False, wwin=None):
     """pallas_call for one band super-kernel instance (see
     _band_super_kernel for the fold=True/False layouts).  runtime_flux
     prepends a scalar-prefetched int32 [lane, owned] flags argument (the
-    x-sharded per-shard variant)."""
+    x-sharded per-shard variant); wwin overrides the per-window width
+    (the phase-tolerant layout)."""
     kernel = functools.partial(
         _band_super_kernel,
         rows=rows, band=band, xdim=width, n_steps=K, c_num=c_sub,
@@ -1408,7 +1414,7 @@ def _build_band_super_call(cfg, rows, band, K, width, win_lo, fold,
         tau2=float(cfg.tau2), forcing=forcing, storage=storage,
         flux_lane=flux_lane, cdt=cdt, walls=walls, win_lo=tuple(win_lo),
         fold=fold, mxu_full_precision=dtype.itemsize >= 4,
-        runtime_flux=runtime_flux,
+        runtime_flux=runtime_flux, wwin=wwin,
     )
     fpad_w = width + 2 * halo if fold else width
     in_specs = [
@@ -1734,18 +1740,30 @@ def make_band_super_substep_xsharded(cfg, pad: int, n_steps: int,
     shard_map (the static-flux-lane two-variant trick of the tiled
     factory cannot differ per shard there).
 
-    Requirements: xl % c_space == 0 (every shard must see the same static
-    window layout — asserted, along with the subset-rotation property),
-    gx <= xl (one-hop ghost exchange) and xl + 2*gx <= XDIM (no double
-    periodic image inside one block).
+    Two window layouts:
+
+    * xl % c_space == 0 (shard-uniform): every shard sees the identical
+      static per-cilium window layout, and shard ix's j-th window holds
+      cilium (m0 + ix*c_step + j) mod c_num (attributes .m0/.c_step;
+      window-local point coordinates are lift-invariant, so the caller
+      just rolls the global per-cilium blocks).
+    * xl % c_space != 0 (PHASE-GENERAL, VERDICT r3 item 8): all cilia of
+      a shard share one runtime phase r = (mstart*cw - halo - ix*xl +
+      gx) in [0, cw) relative to a uniform static window grid
+      lo_j = j*cw of WIDENED windows (width W + cw, so any phase fits);
+      the caller adds r to the runtime x-anchors, rolls the global
+      per-cilium blocks by the runtime mstart, and zeroes eps on slots
+      whose natural window falls outside the block (.phase_general /
+      .cw / .wcov attributes; gx carries an extra cw of ghost columns
+      for the phase margin).  Same kernel, windows merely wider — the
+      per-window MXU dots grow by cw columns.
+
+    Common requirements: gx <= xl (one-hop ghost exchange) and
+    xl + 2*gx <= XDIM (no double periodic image inside one block).
 
     Returns substep(flags, f_ext_block, force_block, u_s, eps, axl, fx,
     ay, fy) -> (f_band, bhalos, force, flux[K]) in EXTENDED block coords
-    ([..., xl + 2*gx]).  The point arrays are the SHARD'S OWN cilium
-    subset in window-layout order: shard ix's j-th window holds cilium
-    (m0 + ix*c_step + j) mod c_num (attributes .m0/.c_step/.c_sub;
-    window-local point coordinates are lift-invariant, so the caller just
-    rolls the global per-cilium blocks).  Also exposes .gx/.halo/.width.
+    ([..., xl + 2*gx]).  Also exposes .gx/.halo/.width/.c_sub.
     """
     xdim = cfg.xdim
     band = cfg.force_band
@@ -1757,11 +1775,14 @@ def make_band_super_substep_xsharded(cfg, pad: int, n_steps: int,
         interpret = jax.default_backend() != "tpu"
     cw, halo = _band_super_geometry(cfg, pad, K, walls, dtype, cdt,
                                     interpret, pattern)
-    if xl % cw:
-        raise ValueError(
-            f"x-sharded band super needs xl % c_space == 0 (got xl={xl}, "
-            f"c_space={cw}): the window layout must be shard-uniform")
+    uniform = xl % cw == 0
+    W = cw + 2 * halo
     gx = _band_super_reach(cw, halo, K, interpret)
+    wwin = None
+    if not uniform:
+        # phase margin: the widened windows cover any phase r in [0, cw)
+        gx += cw
+        wwin = W + cw
     if gx > xl:
         raise ValueError(
             f"x-sharded band super needs gx={gx} <= xl={xl} (one-hop "
@@ -1775,18 +1796,31 @@ def make_band_super_substep_xsharded(cfg, pad: int, n_steps: int,
         raise ValueError(
             f"x-sharded band super block ({txe} cols) exceeds VMEM")
 
-    ids, win_lo = _band_super_block_windows(cfg.c_num, cw, halo, xl, gx,
-                                            n_x)
-    step = xl // cw
-    assert all(w == win_lo[0] for w in win_lo), \
-        "shard window layout must be uniform (xl % c_space == 0)"
-    assert all(ids[t] == tuple(m + t * step for m in ids[0])
-               for t in range(n_x)), "subset-rotation property violated"
-    c_sub = len(ids[0])
+    if uniform:
+        ids, win_lo = _band_super_block_windows(cfg.c_num, cw, halo, xl,
+                                                gx, n_x)
+        step = xl // cw
+        assert all(w == win_lo[0] for w in win_lo), \
+            "shard window layout must be uniform (xl % c_space == 0)"
+        assert all(ids[t] == tuple(m + t * step for m in ids[0])
+                   for t in range(n_x)), "subset-rotation property violated"
+        c_sub = len(ids[0])
+        lo0 = win_lo[0]
+        m0, c_step = ids[0][0], step
+    else:
+        c_sub = (txe - wwin) // cw + 1
+        if c_sub < 1:
+            raise ValueError(
+                f"phase-general band super: no widened window (width "
+                f"{wwin}) fits the {txe}-column block")
+        assert c_sub <= cfg.c_num, (c_sub, cfg.c_num)  # txe <= xdim
+        lo0 = tuple(j * cw for j in range(c_sub))
+        m0 = c_step = None
 
     call = _build_band_super_call(
-        cfg, rows, band, K, txe, win_lo[0], False, None, c_sub, halo,
-        dtype, cdt, walls, forcing, storage, interpret, runtime_flux=True)
+        cfg, rows, band, K, txe, lo0, False, None, c_sub, halo,
+        dtype, cdt, walls, forcing, storage, interpret, runtime_flux=True,
+        wwin=wwin)
 
     def substep(flags, f_ext, force, u_s, eps, axl, fx, ay, fy):
         fb, bh, fo, flux = call(
@@ -1800,8 +1834,11 @@ def make_band_super_substep_xsharded(cfg, pad: int, n_steps: int,
     substep.halo = halo
     substep.width = txe
     substep.c_sub = c_sub
-    substep.m0 = ids[0][0]
-    substep.c_step = step
+    substep.m0 = m0
+    substep.c_step = c_step
+    substep.phase_general = not uniform
+    substep.cw = cw
+    substep.wcov = W
     return substep
 
 

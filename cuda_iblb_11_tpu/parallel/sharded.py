@@ -768,11 +768,14 @@ class ShardedTemporalSim(ShardedPallasSim):
     block, force and bulk ghosts are extended by gx ghost columns
     ppermuted ONCE per super-step, and ONE kernel launch runs all K band
     sub-steps with ZERO collectives inside (runtime [lane, owned] flux
-    flags keep the program SPMD-uniform).  Eligibility: xl % c_space ==
-    0, gx <= xl, xl + 2*gx <= XDIM — BASELINE config-5 (8192^2) on a
-    (2,2) mesh qualifies (xl=4096, gx=256 at K=8).
+    flags keep the program SPMD-uniform).  Eligibility: gx <= xl and
+    xl + 2*gx <= XDIM — BASELINE config-5 (8192^2) on a (2,2) mesh
+    qualifies (xl=4096, gx=256 at K=8); since r4 xl need NOT be a
+    c_space multiple (the phase-general widened-window layout bakes the
+    shard's runtime window phase into the point anchors —
+    ops/pallas_step.make_band_super_substep_xsharded docstring).
 
-    Otherwise — xl not a c_space multiple, shards too narrow, or the
+    Otherwise — shards too narrow for the ghost reach, or the
     whole-domain super-kernel ineligible on (n_y, 1) meshes (X too wide
     for VMEM, c_space not lane-aligned) — the band leg falls back to the
     TILED per-sub-step leg (_super_body_tiled): K
@@ -883,7 +886,10 @@ class ShardedTemporalSim(ShardedPallasSim):
                     cfg, pad_s, K, walls, self.dtype, forcing=forcing,
                     storage=self.storage, interpret=interpret,
                     pattern=pattern, xl=self.xl, n_x=self.n_x)
-                self._kernel_path = "band_super_xsharded"
+                self._kernel_path = (
+                    "band_super_xsharded_phase"
+                    if self._band_super_x.phase_general
+                    else "band_super_xsharded")
             except ValueError:
                 pass
         if self._band_super is None and self._band_super_x is None:
@@ -1122,13 +1128,37 @@ class ShardedTemporalSim(ShardedPallasSim):
 
         # --- the shard's cilium subset: window-local point coordinates
         # are lift-invariant, so a cyclic roll of the global per-cilium
-        # blocks realizes the (static-layout) subset
-        shift = jnp.mod(jnp.int32(sup.m0) + ix * jnp.int32(sup.c_step),
-                        jnp.int32(cfg.c_num))
+        # blocks realizes the subset
+        if sup.phase_general:
+            # xl is NOT a c_space multiple: all of this shard's cilia
+            # share one runtime phase r in [0, cw) within the kernel's
+            # widened static window grid (pallas_step.make_band_super_
+            # substep_xsharded docstring).  mstart = first cilium lift
+            # whose natural window starts inside the extended block;
+            # r is baked into the x-anchors, and slots whose natural
+            # window overruns the block are made inert (eps = 0 — the
+            # x-neighbour that owns those columns computes them).
+            cwj = jnp.int32(sup.cw)
+            x0e = jnp.int32(ix) * jnp.int32(xl) - jnp.int32(gx)
+            mstart = -((-(x0e + jnp.int32(sup.halo))) // cwj)
+            r = mstart * cwj - jnp.int32(sup.halo) - x0e
+            shift = jnp.mod(mstart, jnp.int32(cfg.c_num))
+            valid = (r + jnp.arange(sup.c_sub, dtype=jnp.int32) * cwj
+                     + jnp.int32(sup.wcov) <= jnp.int32(sup.width))
+        else:
+            shift = jnp.mod(jnp.int32(sup.m0) + ix * jnp.int32(sup.c_step),
+                            jnp.int32(cfg.c_num))
 
         def sub(a, axis):
             return jax.lax.slice_in_dim(
                 jnp.roll(a, -shift, axis=axis), 0, sup.c_sub, axis=axis)
+
+        us_s, ep_s = sub(us, 2), sub(ep, 1)
+        axl_s, fx_s = sub(axl, 1), sub(fx, 1)
+        ay_s, fy_s = sub(ay, 1), sub(fy, 1)
+        if sup.phase_general:
+            ep_s = ep_s * valid[None, :, None].astype(ep_s.dtype)
+            axl_s = axl_s + r
 
         # --- flux flags + ONE band-super launch ---------------------------
         fxc = cfg.flux_x
@@ -1139,8 +1169,7 @@ class ShardedTemporalSim(ShardedPallasSim):
             jnp.logical_and(col_owned, iy == 0).astype(jnp.int32),
         ]).astype(jnp.int32)
         fb_e, bh_e, fo_e, flux_band = sup(
-            flags_b, blk_e, force_e, sub(us, 2), sub(ep, 1), sub(axl, 1),
-            sub(fx, 1), sub(ay, 1), sub(fy, 1))
+            flags_b, blk_e, force_e, us_s, ep_s, axl_s, fx_s, ay_s, fy_s)
         f_band_new = fb_e[..., gx:gx + xl]
         force_new = fo_e[..., gx:gx + xl]
         bh = bh_e[..., gx:gx + xl]          # exact interior seam rows

@@ -335,3 +335,32 @@ def test_sharded_temporal_bf16_matches_single_chip_bf16():
         np.asarray(st.force), np.asarray(ust.force), rtol=0.05, atol=1e-5)
     np.testing.assert_allclose(float(st.q), float(ust.q), rtol=0.05,
                                atol=1e-7)
+
+
+@needs_devices
+def test_xsharded_band_super_phase_general_matches_oracle():
+    # VERDICT r3 item 8: xl % c_space == 0 is no longer required for the
+    # x-sharded resident-band super-kernel.  c_num=10 over n_x=4 gives
+    # xl=640, not a c_space=256 multiple -> the PHASE-GENERAL layout
+    # (widened windows on a uniform grid, runtime phase r baked into the
+    # anchors, overrun slots inert) must engage and match the
+    # single-device oracle to round-off.
+    import pytest as _pytest
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 virtual devices")
+    cfg = SimConfig(c_num=10, c_space=256, ydim=288, dtype="float64",
+                    storage="raw")
+    sim = ShardedTemporalSim(cfg, make_mesh(2, 4), temporal=4)
+    assert sim._kernel_path == "band_super_xsharded_phase"
+    assert sim._band_super_x.phase_general
+    st_ref = _oracle(cfg, 8)
+    st = sim.run_chunk(sim.init_state(), 8)
+    assert int(st.it) == 8
+    np.testing.assert_allclose(
+        np.asarray(st.f), np.asarray(st_ref.f), rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(
+        np.asarray(st.force), np.asarray(st_ref.force), rtol=1e-10,
+        atol=1e-18)
+    np.testing.assert_allclose(float(st.q), float(st_ref.q), rtol=1e-12,
+                               atol=1e-15)
