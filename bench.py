@@ -11,11 +11,11 @@ IB super-kernel (all K band sub-steps + IB coupling in one Pallas launch,
 ops/pallas_step.make_band_super_substep, full-precision MXU window dots).
 The super-kernel re-associates the IB contractions, so it is NOT bit-exact
 vs the single-step fused kernel; its measured deviation is reported in
-diag.super_vs_single_rel_l2 (~3.5e-6 at 2,048 steps since the r3
-bf16-split full-precision fix — unchanged by the r3 shared-monomial
-collide, which all kernels share — and SATURATING with horizon: 3.6e-6
-@512 -> 2.1e-6 @32,768 steps measured; the f32-vs-f64 envelope is gated
-in tests/test_accuracy_horizon.py and characterized in
+diag.super_vs_single_rel_l2 (~2-4e-6 since the r3 bf16-split
+full-precision fix — unchanged by the r3 shared-monomial collide, which
+all kernels share — and SATURATING with horizon: 3.6e-6 @512 -> 2.1e-6
+@32,768 steps measured; the f32-vs-f64 envelope is gated in
+tests/test_accuracy_horizon.py and characterized in
 validation/accuracy_horizon.json).
 
 diag also carries the machine-readable secondary numbers (VERDICT r2
@@ -49,7 +49,16 @@ def corrected_velocity_of(sim, state):
 
 def timed_run(sim, steps, windows=1):
     """Warm up one window, then time `windows` more and keep the best —
-    the tunnel's dispatch jitter is one-sided (only ever adds time)."""
+    the tunnel's dispatch jitter is one-sided (only ever adds time).
+
+    Window lengths are sized so the tunnel's FIXED per-dispatch cost
+    (~24 ms dispatch + scalar fetch, measured in scripts/probe_bw.py's
+    dispatch-overhead probe) stays under ~2% of the window: a 512-step
+    window at 2048^2 is ~123 ms of device time, so it under-reported the
+    steady-state rate by ~20% (the r1-r3 BENCH files carry that bias;
+    production chunks are thousands of steps, so the steady-state rate
+    is the honest headline).  The primary mode (~17.5k MLUPS) needs a
+    >=1.2 s window for <2%: 6144 steps at 2048^2."""
     state = sim.run_chunk(sim.init_state(), steps)
     _ = float(state.q)  # value fetch: the only reliable device sync here
     best = float("inf")
@@ -75,7 +84,7 @@ def main():
     cfg = SimConfig(c_num=16, c_space=128, ydim=2048, dtype="float32")
     on_tpu = backend_kind == "tpu"
     sim_backend = "pallas" if on_tpu else "jnp"
-    steps = 512 if on_tpu else 3
+    steps = 6144 if on_tpu else 3
     diag = {}
 
     try:
@@ -136,14 +145,15 @@ def main():
             try:
                 cfg8 = SimConfig(c_num=64, c_space=128, ydim=8192,
                                  dtype="float32")
+                steps8 = 256
                 s8 = MucociliarySim(cfg8, backend="pallas", temporal=8)
-                st8, dt8 = timed_run(s8, 128, windows=2)
+                st8, dt8 = timed_run(s8, steps8, windows=2)
                 diag["mlups_8192sq_temporal_k8"] = round(
-                    cfg8.size * 128 / dt8 / 1e6, 1)
+                    cfg8.size * steps8 / dt8 / 1e6, 1)
                 s8s = MucociliarySim(cfg8, backend="pallas")
-                st8s, dt8s = timed_run(s8s, 128, windows=2)
+                st8s, dt8s = timed_run(s8s, steps8, windows=2)
                 diag["mlups_8192sq_single_step"] = round(
-                    cfg8.size * 128 / dt8s / 1e6, 1)
+                    cfg8.size * steps8 / dt8s / 1e6, 1)
                 # accuracy at BASELINE config-5 scale: both states exist
                 # (384 steps each), so the temporal+x-tiled-band-super
                 # mode's f32 drift from the single-step kernel is free to
@@ -154,13 +164,13 @@ def main():
                 rel8 = float(jnp.linalg.norm(u8t - u8s)
                              / jnp.linalg.norm(u8s))
                 diag["rel_l2_8192sq_temporal_vs_single"] = rel8
-                diag["rel_l2_8192sq_steps"] = 3 * 128
+                diag["rel_l2_8192sq_steps"] = 3 * steps8
                 log(f"secondary: 8192^2 single chip — temporal K=8 "
                     f"{diag['mlups_8192sq_temporal_k8']:.0f} MLUPS, "
                     f"single-step "
                     f"{diag['mlups_8192sq_single_step']:.0f} MLUPS, "
-                    f"velocity rel-L2 (temporal vs single) @384 steps: "
-                    f"{rel8:.2e}")
+                    f"velocity rel-L2 (temporal vs single) "
+                    f"@{3 * steps8} steps: {rel8:.2e}")
             except Exception as e:  # noqa: BLE001
                 log(f"8192^2 secondary failed: {e!r}")
 

@@ -5,6 +5,15 @@ patterns to establish the roofline the D2Q9 step kernel can target on this
 chip.  Diagnostics only — not part of the package.  Timing uses chained
 calls + a final value fetch (block_until_ready can return early through the
 axon tunnel; see docs/perf_notes).
+
+Every timed dispatch through the tunnel carries a FIXED ~24 ms cost
+(dispatch + scalar fetch; measured by the `dispatch overhead` probe and
+recorded in the JSON).  The r3 version of this script looped only 30
+iterations per dispatch, so that fixed cost inflated every per-iteration
+time by ~0.8 ms and the whole table read ~3x LOW (plain copies "155-218
+GB/s" on a chip that actually streams ~650 GB/s).  ITERS=3000 keeps the
+bias under ~2%; the probes plateau 550 -> 625 -> 650 GB/s at
+300/1000/3000 iterations.
 """
 
 from __future__ import annotations
@@ -27,12 +36,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 Y = X = 2048
 NP = 9
-ITERS = 30
+ITERS = 3000
 
 
 def bench(fn, x, bytes_per_call, iters=ITERS, name=""):
-    """One jitted on-device fori_loop of `iters` applications (per-call
-    dispatch through the axon tunnel costs ~1 ms and would dominate)."""
+    """One jitted on-device fori_loop of `iters` applications: the fixed
+    ~24 ms per-dispatch tunnel cost must be amortized below the noise
+    floor (at 3000 x ~0.5 ms/iter it is ~1.6% of the window)."""
     looped = jax.jit(lambda v: jax.lax.fori_loop(
         0, iters, lambda i, w: fn(w), v))
     r = looped(x)
@@ -119,6 +129,23 @@ def make_manual_dma_copy(ty, depth=2):
     return jax.jit(call)
 
 
+def dispatch_overhead_ms():
+    """Fixed cost of one dispatch + scalar fetch through the tunnel (the
+    quantity the looped probes amortize away; bench.py sizes its timed
+    windows so this stays <2%)."""
+    f = jax.jit(lambda s: s + 1.0)
+    s = f(jnp.float32(0.0))
+    _ = float(s)
+    best = float("inf")
+    for _i in range(5):
+        t0 = time.perf_counter()
+        s = f(s)
+        _ = float(s)
+        best = min(best, time.perf_counter() - t0)
+    print(f"{'dispatch overhead (tiny op + fetch)':48s} {best*1e3:8.3f} ms")
+    return best * 1e3
+
+
 _STEP_SIM = None
 
 
@@ -137,7 +164,7 @@ def step_kernel_implied_gbs():
         _STEP_SIM = MucociliarySim(cfg, backend="pallas")
     sim = _STEP_SIM
     cfg = sim.cfg
-    n = 256
+    n = 2048  # ~2.3 s of device time: the ~24 ms dispatch cost is ~1%
     # warm with the SAME chunk length: _run_scan compiles per n_steps, so
     # a different warm length would time a fresh compile
     st = sim.run_chunk(sim.init_state(), n)
@@ -198,6 +225,7 @@ def main():
     items = build_probes()
     runs = {name: [] for name, _ in items}
     runs["fused step kernel (implied @72 B/site)"] = []
+    overhead = []
     for rep in range(reps):
         if reps > 1:
             print(f"--- rep {rep + 1}/{reps} ---")
@@ -208,6 +236,7 @@ def main():
             runs[name].append(bench(fn, arg, nbytes, name=name))
         runs["fused step kernel (implied @72 B/site)"].append(
             step_kernel_implied_gbs())
+        overhead.append(dispatch_overhead_ms())
 
     if out_json:
         import json
@@ -226,6 +255,12 @@ def main():
             "date": time.strftime("%Y-%m-%d"),
             "device": str(jax.devices()[0]),
             "reps": reps,
+            "iters_per_dispatch": ITERS,
+            "dispatch_overhead_ms": {
+                "median": round(statistics.median(overhead), 1),
+                "min": round(min(overhead), 1),
+                "max": round(max(overhead), 1),
+            },
             "shape": f"[{NP}, {Y}, {X}] f32, read+write",
             "patterns": table,
         }

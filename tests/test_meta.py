@@ -32,12 +32,25 @@ def test_readme_test_count_matches_source():
 
 def test_readme_headline_mlups_matches_latest_bench():
     # the README perf table's benchmark-mode number must track the latest
-    # recorded driver benchmark (BENCH_r<N>.json) within run-to-run
-    # variance (+-2-4% through the tunnel; 15% gate)
+    # recorded benchmark within run-to-run variance (+-2-4% through the
+    # tunnel; 15% gate).  The newest of the driver records
+    # (BENCH_r<N>.json) and the committed local record
+    # (validation/bench_local.json, written when a bench.py methodology
+    # change lands between driver rounds — e.g. the r4 window-length fix
+    # that removed a ~20% fixed-dispatch-cost under-report) wins.
     benches = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
-    if not benches:
+    chosen = benches[-1] if benches else None
+    local = os.path.join(REPO, "validation", "bench_local.json")
+    if os.path.exists(local):
+        with open(local) as fh:
+            sup = json.load(fh).get("supersedes", "")
+        # the local record names the newest driver record it was measured
+        # after; a LATER driver record (next round) takes over again
+        if not chosen or os.path.basename(chosen) <= sup:
+            chosen = local
+    if not chosen:
         return
-    with open(benches[-1]) as fh:
+    with open(chosen) as fh:
         record = json.load(fh)
     # the driver wraps bench.py's JSON line inside the captured "tail"
     lines = [ln for ln in record.get("tail", "").splitlines()
