@@ -75,6 +75,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "(multi-host pods: coordinator/process env vars or "
                         "the platform's auto-detection must be set; the "
                         "--mesh shape then spans all hosts' devices)")
+    p.add_argument("--platform", default="auto",
+                   choices=["auto", "cpu", "tpu"],
+                   help="pin the jax platform before first backend use. "
+                        "cpu: run the f64-capable oracle host path even "
+                        "when a TPU plugin is registered (also the escape "
+                        "hatch when the TPU tunnel is unreachable — "
+                        "auto-detection then hangs in device init). "
+                        "Note the JAX_PLATFORMS env var is NOT reliable "
+                        "here: an interpreter that pre-imports jax ignores "
+                        "it, so the CLI sets it in-process")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the first interval")
@@ -83,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.distributed:
         # must run before any backend use; on multi-host pods every
         # process then sees the global device set, and shard_map meshes
