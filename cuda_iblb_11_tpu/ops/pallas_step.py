@@ -545,6 +545,16 @@ def make_fused_substep(cfg, walls: WallSpec = REFERENCE_WALLS, dtype=jnp.float32
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
+            # In-place f: the output f buffer IS the input f buffer.  Safe
+            # by the pipeline's own lag: the last READ of f region j (the
+            # prefetch issued at grid step j-1, waited at step j) completes
+            # a full grid step before the output flush of region j (issued
+            # at the end of step j+1), and all concurrently-in-flight
+            # read/write DMAs target disjoint regions.  Motivation
+            # (validation/bandwidth.json): same-buffer read+write streams
+            # run ~646 GB/s on this chip vs ~327 for read-A-write-B — the
+            # two-buffer form left the kernel DMA-bound at ~281 GB/s.
+            input_output_aliases={0: 0},
             scratch_shapes=[
                 pltpu.VMEM((2, 9, ty, xdim), dtype),  # f slots
                 pltpu.VMEM((2, 2, ty, xdim), fdt),    # force slots
@@ -2328,6 +2338,14 @@ def make_sharded_fused_substep(cfg, yl: int, walls: WallSpec = REFERENCE_WALLS,
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
+        # In-place f_loc (index 1: the flat input list includes the
+        # scalar-prefetch flags at 0).  Same safety argument as
+        # make_fused_substep: the output flush of f region j trails the
+        # last manual read of region j by a full grid step, and the
+        # caller's edge-row collides consume f_loc BEFORE this call.
+        # Same-buffer read+write streams run ~2x the two-buffer rate on
+        # this hardware (validation/bandwidth.json).
+        input_output_aliases={1: 0},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 << 20),
         interpret=interpret,
     )
