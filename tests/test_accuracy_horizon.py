@@ -134,7 +134,8 @@ def test_fullbeat_errors_are_measured_and_gated():
 
 @pytest.mark.slow
 def test_fullbeat_f32_flux_error_recompute_vs_golden():
-    # The full recompute (slow tier, ~20 min CPU): run the f32 production
+    # The full recompute (slow tier, ~9 min CPU measured): run the f32
+    # production
     # storage mode over the complete 100k-step beat and gate the flux
     # error <1% against the committed f64 golden
     # (scripts/make_fullbeat_golden.py).
