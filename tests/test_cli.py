@@ -16,6 +16,24 @@ def test_cli_runs_and_writes_outputs(tmp_path):
     assert (tmp_path / "Raw" / "4" / "1" / "SimLog.txt").exists()
 
 
+def test_cli_platform_flag(tmp_path):
+    # --platform cpu pins the jax platform in-process before first
+    # backend use (r4: the supported way to run the f64 CPU oracle on a
+    # TPU host, and the escape hatch when TPU device discovery would
+    # hang on an unreachable plugin).  Under the test env the platform
+    # is already cpu, so this asserts the flag parses, applies, and the
+    # run still completes end-to-end.
+    rc = main([
+        "1", "4", "48", "1.0", "1.0", "5", "0.002", "2", "0", "0",
+        "--output", str(tmp_path), "--quiet", "--platform", "cpu",
+    ])
+    assert rc == 0
+    import jax
+
+    assert jax.default_backend() == "cpu"
+    assert (tmp_path / "Flux" / "1_4_48_1_1x5-flux.dat").exists()
+
+
 def test_cli_mucus_pattern(tmp_path):
     # --pattern mucus selects the A_mn/B_mn tables the reference keeps
     # commented out (main.cu:36-54): must run end-to-end and produce a
