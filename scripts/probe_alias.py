@@ -1,0 +1,112 @@
+"""A/B probe for the in-place (input_output_aliases) fused step kernel.
+
+Runs on the real TPU.  For the single-step fused kernel at 2048^2 it
+measures, with steady-state windows (>= ~2 s device time, see
+scripts/probe_bw.py on the fixed ~24 ms dispatch cost):
+
+  1. correctness: aliased kernel vs the jnp oracle over 64 steps
+     (rel-L2 must sit at f32 round-off, ~1e-6 class), and vs the
+     NON-aliased build over the same 64 steps (must be BIT-IDENTICAL --
+     aliasing changes buffers, not math);
+  2. throughput: aliased vs non-aliased single-step MLUPS.
+
+The non-aliased variant is produced by stripping input_output_aliases
+from pl.pallas_call via a scoped monkeypatch (diagnostics only -- the
+package API deliberately has no toggle: aliased is simply correct).
+
+Usage:  python scripts/probe_alias.py
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import contextlib
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def no_aliasing():
+    """Scoped: make pl.pallas_call drop input_output_aliases."""
+    from jax.experimental import pallas as pl
+
+    real = pl.pallas_call
+
+    def patched(*a, **kw):
+        kw.pop("input_output_aliases", None)
+        return real(*a, **kw)
+
+    pl.pallas_call = patched
+    # the kernel module binds `pl` by module reference, so patching the
+    # attribute is enough; restore unconditionally
+    try:
+        yield
+    finally:
+        pl.pallas_call = real
+
+
+def build(cfg, aliased: bool):
+    from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
+
+    if aliased:
+        return MucociliarySim(cfg, backend="pallas")
+    with no_aliasing():
+        return MucociliarySim(cfg, backend="pallas")
+
+
+def timed(sim, steps, windows=3):
+    st = sim.run_chunk(sim.init_state(), steps)
+    _ = float(st.q)  # value fetch = the only reliable sync here
+    best = float("inf")
+    for _i in range(windows):
+        t0 = time.perf_counter()
+        st = sim.run_chunk(st, steps)
+        _ = float(st.q)
+        best = min(best, time.perf_counter() - t0)
+    return st, best
+
+
+def main():
+    from cuda_iblb_11_tpu.core.config import SimConfig
+    from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
+
+    assert jax.default_backend() == "tpu", "run on the TPU"
+    cfg = SimConfig(c_num=16, c_space=128, ydim=2048, dtype="float32")
+
+    # --- correctness at small scale: 64 steps, all three ways ----------
+    cfg_s = SimConfig(c_num=2, c_space=128, ydim=256, dtype="float32")
+    sa = build(cfg_s, aliased=True)
+    sn = build(cfg_s, aliased=False)
+    so = MucociliarySim(cfg_s, backend="jnp")
+    a = sa.run_chunk(sa.init_state(), 64)
+    n = sn.run_chunk(sn.init_state(), 64)
+    o = so.run_chunk(so.init_state(), 64)
+    bit_equal = bool(jnp.all(a.f == n.f)) and bool(a.q == n.q)
+    rel = float(jnp.linalg.norm(a.f - o.f) / jnp.linalg.norm(o.f))
+    print(f"aliased == non-aliased bit-identical @64 steps: {bit_equal}")
+    print(f"aliased vs jnp oracle rel-L2 @64 steps: {rel:.3e}")
+    assert bit_equal, "aliasing changed values -- DMA ordering violated"
+    assert rel < 5e-6, rel
+
+    # --- throughput at 2048^2: 6144-step windows ------------------------
+    steps = 6144
+    sa = build(cfg, aliased=True)
+    _, dt_a = timed(sa, steps)
+    mlups_a = cfg.size * steps / dt_a / 1e6
+    print(f"single-step ALIASED:     {mlups_a:8.0f} MLUPS ({dt_a:.3f} s)")
+    sn = build(cfg, aliased=False)
+    _, dt_n = timed(sn, steps)
+    mlups_n = cfg.size * steps / dt_n / 1e6
+    print(f"single-step non-aliased: {mlups_n:8.0f} MLUPS ({dt_n:.3f} s)")
+    print(f"speedup: {mlups_a / mlups_n:.3f}x")
+
+
+if __name__ == "__main__":
+    main()
