@@ -70,14 +70,51 @@ def timed_run(sim, steps, windows=1):
     return state, best
 
 
+def _backend_or_die(timeout_s=300):
+    """First-time jax device discovery under a watchdog: with the TPU
+    plugin registered but its tunnel unreachable, discovery blocks
+    FOREVER (observed r4) and a hung benchmark records nothing.  Probe
+    in a daemon thread; on timeout emit the JSON line (value 0, honest
+    diag) and exit nonzero."""
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+
+        out["backend"] = jax.default_backend()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "backend" in out:
+        return out["backend"]
+    log(f"backend discovery did not return within {timeout_s}s "
+        f"(TPU tunnel unreachable?)")
+    print(json.dumps({
+        "metric": "MLUPS/chip, 2048x2048 D2Q9 TRT + IB cilia "
+                  "(full step, f32)",
+        "value": 0.0,
+        "unit": "MLUPS",
+        "vs_baseline": 0.0,
+        "diag": {"error": f"jax backend init timed out after {timeout_s}s "
+                          f"(TPU tunnel unreachable)"},
+    }), flush=True)
+    import os
+
+    os._exit(2)
+
+
 def main():
+    backend_kind = _backend_or_die()
+
     import jax
     import jax.numpy as jnp
 
     from cuda_iblb_11_tpu.core.config import SimConfig
     from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
 
-    backend_kind = jax.default_backend()
     log(f"backend: {backend_kind}, devices: {jax.devices()}")
 
     # 2048^2 grid with a cilia array (c_num*c_space = XDIM).
