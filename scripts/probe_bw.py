@@ -199,6 +199,11 @@ def build_probes():
                   make_pallas_copy(128, kern=scale_kernel)))
     items.append(("pallas copy ty=128 io-aliased",
                   make_pallas_copy(128, alias=True)))
+    # aliased + real VPU compute: does arithmetic forfeit the aliased
+    # same-buffer stream rate?  (directly predictive for the in-place
+    # fused step kernel)
+    items.append(("pallas scale ty=128 io-aliased",
+                  make_pallas_copy(128, kern=scale_kernel, alias=True)))
     for ty, depth in ((64, 2), (64, 3), (128, 2), (128, 3), (256, 2)):
         items.append((f"pallas manual DMA ty={ty} depth={depth}",
                       make_manual_dma_copy(ty, depth)))
