@@ -18,6 +18,16 @@ from cuda_iblb_11_tpu.core.config import SimConfig
 from cuda_iblb_11_tpu.runner import run
 
 
+def _temporal_arg(v: str):
+    if v == "auto":
+        return v
+    try:
+        return int(v)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"--temporal takes an integer K or 'auto', got {v!r}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="iblb",
@@ -37,12 +47,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "exactly but is IB-unstable at default parameters")
     p.add_argument("--dtype", default=None,
                    choices=["float32", "float64", "bfloat16"])
-    p.add_argument("--temporal", type=int, default=1, metavar="K",
+    p.add_argument("--temporal", type=_temporal_arg, default="auto",
+                   metavar="K",
                    help="K-step temporal blocking for the pallas backend "
                         "(K LB steps per HBM pass over the force-free "
                         "bulk; identical physics — the band super-kernel "
                         "re-associates the IB contractions, ~1e-6-level "
-                        "f32 drift vs single-step; default 1)")
+                        "f32 drift vs single-step).  Default 'auto' picks "
+                        "the largest eligible K (16..2, else 1) and "
+                        "records the pick in SimLog; pass an explicit K "
+                        "(1 to disable) for bit-stable runs across "
+                        "versions")
     p.add_argument("--pattern", default="no_mucus",
                    choices=["no_mucus", "mucus"],
                    help="cilia beat pattern: the reference's active "

@@ -92,6 +92,15 @@ class MucociliarySim:
         advance K steps per HBM pass (ops/pallas_step.make_temporal_bulk_
         substep) while the band region + IB coupling step normally —
         identical physics, ~K-fold lower HBM traffic on the bulk.
+        "auto" picks the largest eligible K from (16, 8, 4, 2) on the
+        pallas backend (falling to 1 when none fits or on other
+        backends); the pick and its reason land in resolved_config() and
+        SimLog.  NOTE on determinism: auto is a PERF policy, not a
+        physics change — the per-sub-step leg is bit-identical to
+        single-step, and the band-super leg differs only by f32
+        re-association (~3.5e-6 rel-L2 at 2,048 steps, see bench diag);
+        runs needing bit-stability across versions should pin an
+        explicit K.
 
         ib_x_edge: "periodic" (default; physically-correct periodic wrap
         of the IB stencil in x) or "reference" (quirk-exact strict-parity
@@ -134,7 +143,17 @@ class MucociliarySim:
                                    if reasons else "auto: eligible")
         self.backend = backend
         self.storage = cfg.storage_resolved
-        self.temporal = int(temporal)
+        self.temporal_requested = temporal
+        self.temporal_reason = None
+        if temporal == "auto":
+            # resolved in the backend branch below (needs the substep
+            # factories); provisional 1 covers the non-pallas backends
+            self.temporal = 1
+            if backend != "pallas":
+                self.temporal_reason = (
+                    f"auto: backend {backend!r} has no temporal path")
+        else:
+            self.temporal = int(temporal)
         if self.temporal > 1 and backend != "pallas":
             raise ValueError("temporal blocking requires the pallas backend")
         if ib_x_edge not in ("periodic", "reference"):
@@ -150,71 +169,25 @@ class MucociliarySim:
             self._lb_substep = make_fused_substep(
                 cfg, walls, self.dtype, forcing=forcing,
                 storage=self.storage, emit_moments=self._emit)
-            if self.temporal > 1:
-                from cuda_iblb_11_tpu.ops.pallas_step import (
-                    make_band_super_substep, make_sharded_fused_substep,
-                    make_temporal_bulk_substep, pick_band_leg_tile,
-                )
-
-                band = cfg.force_band
-                # Preferred band leg: the resident-band super-kernel (ONE
-                # launch for all K band sub-steps + IB coupling, band held
-                # in VMEM).  Falls back to the per-sub-step kernel + XLA IB
-                # when its structural requirements don't hold (c_space not
-                # lane-aligned, >128 nodes, window wider than the domain).
-                self._band_super = None
-                # (the super-kernel's windowed IB is periodic-only; the
-                # strict-parity quirk mode uses the per-sub-step leg with
-                # the stencil forms)
-                if ib_x_edge == "periodic":
-                    from cuda_iblb_11_tpu.ops.pallas_step import (
-                        make_band_super_substep_tiled,
-                    )
-
-                    pad_s = -(-self.temporal // 8) * 8
-                    for factory, leg in (
-                            (make_band_super_substep, "band_super_whole"),
-                            (make_band_super_substep_tiled,
-                             "band_super_xtiled")):
-                        # whole-domain kernel first; the x-tiled variant
-                        # when VMEM rejects it (XDIM=8192-class grids)
-                        try:
-                            if cfg.ydim - band < pad_s:
-                                raise ValueError(
-                                    "ydim too small for ghost pad")
-                            self._band_super = factory(
-                                cfg, pad_s, self.temporal, walls,
-                                self.dtype, forcing=forcing,
-                                storage=self.storage, pattern=pattern)
-                            self._band_pad_s = pad_s
-                            self._band_leg = leg
-                            break
-                        except ValueError:
-                            self._band_super = None
-                # The band leg runs on an EXTENDED block: the band plus a
-                # `pad`-row throwaway copy of the bulk bottom (the classic
-                # temporal-blocking ghost trapezoid: the kernel's top halo
-                # is garbage, contaminating one pad row per sub-step from
-                # the top, so pad >= K keeps every band row valid).  The
-                # kernel exposes its row band-1 f1 as the bulk's seam halo
-                # — everything stays inside Mosaic, so the temporal path
-                # remains bit-identical to the single-step kernel.
-                if self._band_super is None:
-                    self._band_leg = "per_substep"
-                ty0, pad = pick_band_leg_tile(cfg, self.temporal,
-                                              self.dtype)
-                if cfg.ydim - band < pad:
-                    raise ValueError(
-                        "temporal blocking needs ydim well above the force "
-                        f"band (ydim={cfg.ydim}, band={band}, pad={pad})")
-                self._band_pad = pad
-                self._band_substep = make_sharded_fused_substep(
-                    cfg, band + pad, walls, self.dtype, forcing=forcing,
-                    storage=self.storage, tile_y=ty0,
-                    expose_f1_row=band - 1, emit_moments=True)
-                self._bulk_substep = make_temporal_bulk_substep(
-                    cfg, cfg.ydim - band, self.temporal, walls, self.dtype,
-                    forcing=forcing, storage=self.storage)
+            if self.temporal_requested == "auto":
+                # largest eligible K wins: the K=16 window amortizes the
+                # bulk HBM pass best (bench diag; K>16 probed negative —
+                # VMEM rings), and each failed candidate falls through to
+                # the next until the single-step path remains
+                err = None
+                for K in (16, 8, 4, 2):
+                    try:
+                        self._setup_temporal(K, walls, pattern)
+                        self.temporal_reason = (
+                            f"auto: K={K} (largest eligible)")
+                        break
+                    except ValueError as e:
+                        err = e
+                else:
+                    self.temporal = 1
+                    self.temporal_reason = f"auto: no eligible K ({err})"
+            elif self.temporal > 1:
+                self._setup_temporal(self.temporal, walls, pattern)
         elif backend == "jnp":
             def _substep(f, force_band):
                 force = ib_band.pad_band(force_band, cfg.ydim)
@@ -227,6 +200,74 @@ class MucociliarySim:
             self._lb_substep = _substep
         else:
             raise ValueError(f"unknown backend {backend!r}")
+
+    def _setup_temporal(self, K: int, walls, pattern: str) -> None:
+        """Build the K-step temporal-blocking machinery (pallas backend).
+
+        Raises ValueError when the configuration cannot take ANY K-step
+        leg (grid too small for the ghost trapezoid, no tile fits) —
+        the "auto" resolver in __init__ walks the K ladder on exactly
+        these rejections.  On success sets self.temporal = K."""
+        from cuda_iblb_11_tpu.ops.pallas_step import (
+            make_band_super_substep, make_band_super_substep_tiled,
+            make_sharded_fused_substep, make_temporal_bulk_substep,
+            pick_band_leg_tile,
+        )
+
+        cfg = self.cfg
+        band = cfg.force_band
+        # Preferred band leg: the resident-band super-kernel (ONE
+        # launch for all K band sub-steps + IB coupling, band held
+        # in VMEM).  Falls back to the per-sub-step kernel + XLA IB
+        # when its structural requirements don't hold (c_space not
+        # lane-aligned, >128 nodes, window wider than the domain).
+        self._band_super = None
+        # (the super-kernel's windowed IB is periodic-only; the
+        # strict-parity quirk mode uses the per-sub-step leg with
+        # the stencil forms)
+        if self.ib_x_edge == "periodic":
+            pad_s = -(-K // 8) * 8
+            for factory, leg in (
+                    (make_band_super_substep, "band_super_whole"),
+                    (make_band_super_substep_tiled, "band_super_xtiled")):
+                # whole-domain kernel first; the x-tiled variant
+                # when VMEM rejects it (XDIM=8192-class grids)
+                try:
+                    if cfg.ydim - band < pad_s:
+                        raise ValueError("ydim too small for ghost pad")
+                    self._band_super = factory(
+                        cfg, pad_s, K, walls, self.dtype,
+                        forcing=self.forcing, storage=self.storage,
+                        pattern=pattern)
+                    self._band_pad_s = pad_s
+                    self._band_leg = leg
+                    break
+                except ValueError:
+                    self._band_super = None
+        # The band leg runs on an EXTENDED block: the band plus a
+        # `pad`-row throwaway copy of the bulk bottom (the classic
+        # temporal-blocking ghost trapezoid: the kernel's top halo
+        # is garbage, contaminating one pad row per sub-step from
+        # the top, so pad >= K keeps every band row valid).  The
+        # kernel exposes its row band-1 f1 as the bulk's seam halo
+        # — everything stays inside Mosaic, so the temporal path
+        # remains bit-identical to the single-step kernel.
+        if self._band_super is None:
+            self._band_leg = "per_substep"
+        ty0, pad = pick_band_leg_tile(cfg, K, self.dtype)
+        if cfg.ydim - band < pad:
+            raise ValueError(
+                "temporal blocking needs ydim well above the force "
+                f"band (ydim={cfg.ydim}, band={band}, pad={pad})")
+        self._band_pad = pad
+        self._band_substep = make_sharded_fused_substep(
+            cfg, band + pad, walls, self.dtype, forcing=self.forcing,
+            storage=self.storage, tile_y=ty0,
+            expose_f1_row=band - 1, emit_moments=True)
+        self._bulk_substep = make_temporal_bulk_substep(
+            cfg, cfg.ydim - band, K, walls, self.dtype,
+            forcing=self.forcing, storage=self.storage)
+        self.temporal = K
 
     def init_state(self) -> FlowState:
         return initial_state(self.cfg, self.dtype)
@@ -248,6 +289,8 @@ class MucociliarySim:
             "storage": self.storage,
             "dtype": str(self.dtype),
             "temporal": self.temporal,
+            "temporal_requested": self.temporal_requested,
+            "temporal_reason": self.temporal_reason,
             "forcing": self.forcing,
             "ib_path": ("stencil_quirk" if self.ib_x_edge == "reference"
                         else "band_matmul"),

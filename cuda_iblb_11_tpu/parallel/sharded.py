@@ -179,6 +179,9 @@ class ShardedMucociliarySim:
             "storage": self.storage,
             "dtype": str(self.dtype),
             "temporal": getattr(self, "temporal", 1),
+            "temporal_requested": getattr(
+                self, "temporal_requested", getattr(self, "temporal", 1)),
+            "temporal_reason": getattr(self, "temporal_reason", None),
             "forcing": self.forcing,
             "ib_path": ("stencil_quirk" if self.ib_x_edge == "reference"
                         else self._ib_periodic_path),

@@ -43,6 +43,28 @@ def _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge="periodic",
                  and cfg.ydim % (8 * parts[0]) == 0
                  and str(cfg.dtype) in ("float32", "bfloat16"))
     if backend == "pallas" or (backend == "auto" and pallas_ok):
+        if temporal == "auto":
+            # largest eligible K for the communication-avoiding sharded
+            # path; quiet fallback to the per-step sharded kernel (the
+            # user asked for a policy, not a specific K)
+            for K in (16, 8, 4, 2):
+                try:
+                    sim = ShardedTemporalSim(cfg, m, forcing=forcing,
+                                             temporal=K,
+                                             ib_x_edge=ib_x_edge,
+                                             pattern=pattern)
+                    sim.temporal_requested = "auto"
+                    sim.temporal_reason = (
+                        f"auto: K={K} (largest eligible sharded)")
+                    return sim
+                except ValueError:
+                    continue
+            sim = ShardedPallasSim(cfg, m, forcing=forcing,
+                                   ib_x_edge=ib_x_edge, pattern=pattern)
+            sim.temporal_requested = "auto"
+            sim.temporal_reason = ("auto: no eligible K for the sharded "
+                                   "temporal path")
+            return sim
         if temporal > 1:
             # communication-avoiding K-step path; fall back to the
             # per-step sharded kernel when ineligible — loudly, so a user
@@ -60,12 +82,16 @@ def _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge="periodic",
                       file=sys.stderr)
         return ShardedPallasSim(cfg, m, forcing=forcing,
                                 ib_x_edge=ib_x_edge, pattern=pattern)
-    if temporal > 1:
+    if temporal != "auto" and temporal > 1:
         print(f"warning: --temporal {temporal} requires the sharded pallas "
               f"path; the jnp sharded backend steps one iteration at a "
               f"time (temporal ignored)", file=sys.stderr)
-    return ShardedMucociliarySim(cfg, m, forcing=forcing,
-                                 ib_x_edge=ib_x_edge, pattern=pattern)
+    sim = ShardedMucociliarySim(cfg, m, forcing=forcing,
+                                ib_x_edge=ib_x_edge, pattern=pattern)
+    if temporal == "auto":
+        sim.temporal_requested = "auto"
+        sim.temporal_reason = "auto: jnp sharded backend has no temporal path"
+    return sim
 
 
 def _select_device(cfg: SimConfig, mesh=None):
@@ -130,7 +156,7 @@ def _resume_flux_rows(flux_path: str, cfg: SimConfig, it0: int,
 def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
         forcing: str = "trt_split", resume_from: str | None = None,
         checkpoint_every: int = 0, quiet: bool = False,
-        profile_dir: str | None = None, temporal: int = 1,
+        profile_dir: str | None = None, temporal: int | str = 1,
         mesh: str | None = None, ib_x_edge: str = "periodic",
         checkpoint_format: str = "npz", pattern: str = "no_mucus") -> dict:
     """See _run_body; this wrapper applies the ShARC device-selection
@@ -155,7 +181,7 @@ def _run_body(cfg: SimConfig, output_root: str = "Data/Test",
               backend: str = "auto",
               forcing: str = "trt_split", resume_from: str | None = None,
               checkpoint_every: int = 0, quiet: bool = False,
-              profile_dir: str | None = None, temporal: int = 1,
+              profile_dir: str | None = None, temporal: int | str = 1,
               mesh: str | None = None, ib_x_edge: str = "periodic",
               checkpoint_format: str = "npz", pattern: str = "no_mucus",
               device=None) -> dict:
@@ -203,6 +229,9 @@ def _run_body(cfg: SimConfig, output_root: str = "Data/Test",
     extra["Storage"] = resolved["storage"]
     extra["IB path"] = resolved["ib_path"]
     extra["Temporal K"] = resolved["temporal"]
+    if resolved.get("temporal_requested") == "auto":
+        extra["Temporal K"] = (
+            f"{resolved['temporal']} ({resolved['temporal_reason']})")
     if not quiet:
         print(f"Execution: backend={extra['Resolved backend']} "
               f"kernel={resolved['band_leg']} "
