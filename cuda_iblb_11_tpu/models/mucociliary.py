@@ -186,6 +186,12 @@ class MucociliarySim:
                 else:
                     self.temporal = 1
                     self.temporal_reason = f"auto: no eligible K ({err})"
+                    # a partially-failed _setup_temporal attempt may have
+                    # left band-leg state from a K whose super factory
+                    # succeeded before pick_band_leg_tile raised; every
+                    # consumer gates on temporal > 1, but carry no state
+                    # from rejected candidates
+                    self._band_super = None
             elif self.temporal > 1:
                 self._setup_temporal(self.temporal, walls, pattern)
         elif backend == "jnp":

@@ -47,6 +47,7 @@ def _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge="periodic",
             # largest eligible K for the communication-avoiding sharded
             # path; quiet fallback to the per-step sharded kernel (the
             # user asked for a policy, not a specific K)
+            err = None
             for K in (16, 8, 4, 2):
                 try:
                     sim = ShardedTemporalSim(cfg, m, forcing=forcing,
@@ -57,13 +58,16 @@ def _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge="periodic",
                     sim.temporal_reason = (
                         f"auto: K={K} (largest eligible sharded)")
                     return sim
-                except ValueError:
-                    continue
+                except ValueError as e:
+                    err = e
             sim = ShardedPallasSim(cfg, m, forcing=forcing,
                                    ib_x_edge=ib_x_edge, pattern=pattern)
             sim.temporal_requested = "auto"
-            sim.temporal_reason = ("auto: no eligible K for the sharded "
-                                   "temporal path")
+            # keep the LAST rejection (K=2, the least demanding candidate)
+            # so SimLog records WHY no sharded K fit — same contract as
+            # the single-device resolver (models/mucociliary.py)
+            sim.temporal_reason = (f"auto: no eligible K for the sharded "
+                                   f"temporal path ({err})")
             return sim
         if temporal > 1:
             # communication-avoiding K-step path; fall back to the
@@ -111,6 +115,26 @@ def _select_device(cfg: SimConfig, mesh=None):
           f"device(s) are visible; using the default device",
           file=sys.stderr)
     return None
+
+
+def _last_simlog_temporal_k(simlog_path: str) -> int | None:
+    """The most recent 'Temporal K:' value recorded in an existing SimLog
+    (the resumed-from run's resolved K — the LAST line wins, since each
+    resume appends its own).  Values may carry an auto-reason suffix,
+    e.g. 'Temporal K: 16 (auto: ...)'; None when absent/unparseable."""
+    last = None
+    try:
+        with open(simlog_path) as fh:
+            for line in fh:
+                if line.startswith("Temporal K:"):
+                    tok = line.split(":", 1)[1].strip().split()[0]
+                    try:
+                        last = int(tok)
+                    except ValueError:
+                        pass
+    except FileNotFoundError:
+        pass
+    return last
 
 
 def _resume_flux_rows(flux_path: str, cfg: SimConfig, it0: int,
@@ -262,7 +286,20 @@ def _run_body(cfg: SimConfig, output_root: str = "Data/Test",
         # new interval.
         keep = _resume_flux_rows(paths.flux_path, cfg, it0, interval)
         flux = FluxWriter(paths.flux_path, cfg, keep_rows=keep)
+        # a resume under a different resolved temporal K switches kernel
+        # path mid-run (not bit-identical across K — f32 re-association,
+        # ~1e-6 rel-L2 class): make the numeric discontinuity VISIBLE in
+        # the SimLog the moment it happens, since --temporal auto makes
+        # it easy to land silently (ADVICE r4)
+        prev_k = _last_simlog_temporal_k(paths.simlog_path)
         simlog.write_resume_note(it0)
+        if prev_k is not None and prev_k != int(resolved["temporal"]):
+            note = (f"NOTE: resumed with temporal K={resolved['temporal']} "
+                    f"(original run: K={prev_k}) — different kernel path, "
+                    f"not bit-identical across the switch")
+            simlog.write_extra({"Resume": note})
+            if not quiet:
+                print(f"warning: {note}", file=sys.stderr)
         # a resume may change the execution path (different backend /
         # mesh / machine) — record the resumed run's resolved config too
         simlog.write_extra({k: v for k, v in extra.items()

@@ -5,7 +5,8 @@ measures, with steady-state windows (>= ~2 s device time, see
 scripts/probe_bw.py on the fixed ~24 ms dispatch cost):
 
   1. correctness: aliased kernel vs the jnp oracle over 64 steps
-     (rel-L2 must sit at f32 round-off, ~1e-6 class), and vs the
+     (rel-L2 must sit at the kernel's measured f32 drift through the
+     stiff IB feedback, ~1e-5 class at 64 steps), and vs the
      NON-aliased build over the same 64 steps (must be BIT-IDENTICAL --
      aliasing changes buffers, not math);
   2. throughput: aliased vs non-aliased single-step MLUPS.
@@ -96,7 +97,7 @@ def main():
     # kernel-vs-oracle f32 drift through the stiff IB feedback sits at the
     # ~1e-5 class by 64 steps (measured 1.22e-5 on this chip; the aliasing
     # question itself is settled by the bit-equality above)
-    assert rel < 5e-5, rel
+    assert rel < 3e-5, rel
 
     # --- throughput at 2048^2: 6144-step windows ------------------------
     steps = 6144

@@ -1,8 +1,9 @@
 """--temporal auto: the largest eligible K wins, ineligible configs fall
 down the ladder to single-step, non-pallas backends resolve to 1, and the
 pick (with its reason) is recorded in resolved_config()/SimLog — the same
-record-the-RESOLVED-config contract as backend=auto (the reference logs
-its real launch config, main.cu:782-783).
+record-the-RESOLVED-config contract as backend=auto (the reference's
+launch-config SimLog lines at main.cu:782-783 are commented out; the
+resolved-config contract here stands on its own).
 
 Auto is a PERF policy, not a physics change: it reuses exactly the
 machinery the explicit-K path builds, so the oracle-equivalence suites in

@@ -236,3 +236,43 @@ def test_sharded_temporal_fallback_resolves_per_step(tmp_path, capsys):
     assert rc["band_leg"] == "sharded_per_step"
     assert rc["temporal"] == 1
     assert rc["mesh"] == [2, 2]
+
+
+def test_resume_notes_temporal_k_switch(tmp_path):
+    # Resuming under a different resolved temporal K switches kernel path
+    # mid-run (not bit-identical across K); the SimLog must say so
+    # (ADVICE r4: --temporal auto makes the switch easy to land silently).
+    cfg_half = CFG.replace(i_pow=0.002, p_num=2)
+    run(cfg_half, output_root=str(tmp_path / "b"), quiet=True,
+        checkpoint_every=200)
+    root = os.path.join(str(tmp_path / "b"), "Raw", "4", "1")
+    ck = os.path.join(root, "checkpoint.npz")
+    # emulate an original run that resolved to K=16 (the jnp CI backend
+    # always resolves to 1, so the original line is planted)
+    simlog = os.path.join(root, "SimLog.txt")
+    with open(simlog, "a") as fh:
+        fh.write("Temporal K: 16 (auto: K=16 (largest eligible))\n")
+    run(CFG, output_root=str(tmp_path / "b"), quiet=True, resume_from=ck)
+    log = open(simlog).read()
+    assert "resumed with temporal K=1 (original run: K=16)" in log
+
+    # same-K resume stays quiet
+    run(cfg_half, output_root=str(tmp_path / "c"), quiet=True,
+        checkpoint_every=200)
+    ck2 = os.path.join(str(tmp_path / "c"), "Raw", "4", "1",
+                       "checkpoint.npz")
+    run(CFG, output_root=str(tmp_path / "c"), quiet=True, resume_from=ck2)
+    log2 = open(os.path.join(str(tmp_path / "c"), "Raw", "4", "1",
+                             "SimLog.txt")).read()
+    assert "resumed with temporal" not in log2
+
+
+def test_last_simlog_temporal_k_parsing(tmp_path):
+    from cuda_iblb_11_tpu.runner import _last_simlog_temporal_k
+    p = str(tmp_path / "SimLog.txt")
+    assert _last_simlog_temporal_k(p) is None  # missing file
+    with open(p, "w") as fh:
+        fh.write("Size: 192x192\nTemporal K: 4\n")
+        fh.write("Resumed from checkpoint at iteration 200\n")
+        fh.write("Temporal K: 16 (auto: K=16 (largest eligible))\n")
+    assert _last_simlog_temporal_k(p) == 16  # last line wins
