@@ -29,12 +29,20 @@ vs_baseline is against the reference's derived throughput of ~0.62 MLUPS
 
 from __future__ import annotations
 
+import glob
 import json
+import os
 import sys
 import time
 
 REFERENCE_MLUPS = 0.62
 TEMPORAL_K = 16
+# perf floor (VERDICT r4 item 6): fail LOUDLY when the primary metric
+# lands more than this fraction below the newest committed record —
+# a toolchain bump or an eligibility change routing the bench to a
+# slower leg must not be silently recorded as a smaller number.
+# Run-to-run tunnel variance is ±2-4%; 20% is far outside it.
+FLOOR_FRACTION = 0.20
 
 
 def log(*a):
@@ -68,6 +76,57 @@ def timed_run(sim, steps, windows=1):
         _ = float(state.q)
         best = min(best, time.perf_counter() - t0)
     return state, best
+
+
+def _newest_record():
+    """The newest committed benchmark record with a nonzero value:
+    driver records (BENCH_r*.json) vs the committed local record
+    (validation/bench_local.json, which names the driver record it
+    supersedes).  Returns (value, resolved_config_or_None, path) or
+    None.  Mirrors tests/test_meta.py::_latest_bench_mlups."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    candidates = sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")))
+    local = os.path.join(repo, "validation", "bench_local.json")
+    if os.path.exists(local):
+        try:
+            with open(local) as fh:
+                sup = json.load(fh).get("supersedes", "")
+            if not candidates or os.path.basename(candidates[-1]) <= sup:
+                candidates.append(local)
+        except (OSError, ValueError):
+            pass
+    for path in reversed(candidates):
+        try:
+            with open(path) as fh:
+                record = json.load(fh)
+            if "value" not in record:
+                lines = [ln for ln in record.get("tail", "").splitlines()
+                         if ln.startswith('{"metric"')]
+                record = json.loads(lines[-1]) if lines else {}
+            value = float(record.get("value", 0.0))
+            if value > 0:
+                return value, record.get("diag", {}).get("resolved"), path
+        except (OSError, ValueError, KeyError):
+            continue
+    return None
+
+
+def check_perf_floor(mlups, resolved):
+    """Nonzero-exit guard: the primary metric must not regress more than
+    FLOOR_FRACTION below the newest committed record.  Returns the text
+    of the failure (for the caller to raise AFTER emitting the JSON
+    line), or None when the floor holds / no record exists."""
+    rec = _newest_record()
+    if rec is None:
+        return None
+    best, best_resolved, path = rec
+    if mlups >= best * (1.0 - FLOOR_FRACTION):
+        return None
+    return (f"PERF FLOOR VIOLATED: {mlups:.0f} MLUPS is "
+            f">{FLOOR_FRACTION:.0%} below the newest committed record "
+            f"{best:.0f} MLUPS ({os.path.basename(path)}).\n"
+            f"  this run resolved:   {resolved}\n"
+            f"  record run resolved: {best_resolved}")
 
 
 def _backend_or_die(timeout_s=300):
@@ -136,7 +195,30 @@ def main():
             f"in {dt:.3f}s  q={float(state.q):.3e}  "
             f"finite={bool(jnp.isfinite(state.f).all())}")
 
+        alias_failure = None
         if on_tpu:
+            # standing no-race guard (VERDICT r4 item 3): re-prove the
+            # input_output_aliases bit-equality against the CURRENT
+            # toolchain every round — correctness rests on Mosaic's
+            # pipeline scheduling, which a JAX upgrade could change
+            try:
+                from cuda_iblb_11_tpu.utils.diag import alias_bit_check
+
+                bit_ident, rel_oracle = alias_bit_check(64)
+                diag["alias_bit_identical"] = bit_ident
+                diag["alias_kernel_vs_oracle_rel_l2"] = rel_oracle
+                log(f"secondary: aliased vs alias-stripped build "
+                    f"bit-identical @64 steps: {bit_ident} "
+                    f"(kernel vs oracle rel-L2 {rel_oracle:.2e})")
+                if not bit_ident:
+                    alias_failure = (
+                        "ALIASING A/B FAILED: aliased and alias-stripped "
+                        "kernels diverged — in-place DMA ordering is no "
+                        "longer safe under this toolchain "
+                        "(ops/pallas_step.py input_output_aliases)")
+            except Exception as e:  # noqa: BLE001
+                log(f"alias A/B guard failed to run: {e!r}")
+                diag["alias_bit_identical"] = None
             # single-step kernel rate + super-mode deviation from it
             try:
                 s1 = MucociliarySim(cfg, backend="pallas")
@@ -211,6 +293,8 @@ def main():
             except Exception as e:  # noqa: BLE001
                 log(f"8192^2 secondary failed: {e!r}")
 
+        floor_failure = check_perf_floor(mlups, diag.get("resolved")) \
+            if on_tpu else None
         print(json.dumps({
             "metric": "MLUPS/chip, 2048x2048 D2Q9 TRT + IB cilia "
                       "(full step, f32)",
@@ -219,6 +303,13 @@ def main():
             "vs_baseline": round(mlups / REFERENCE_MLUPS, 1),
             "diag": diag,
         }))
+        # guards fail AFTER the JSON line is emitted, so the record
+        # exists either way and the rc/tail carry the loud reason
+        for failure in (alias_failure, floor_failure):
+            if failure:
+                log(failure)
+        if alias_failure or floor_failure:
+            sys.exit(3)
     except Exception as e:  # noqa: BLE001 — always emit the JSON line
         log(f"benchmark failed: {e!r}")
         print(json.dumps({

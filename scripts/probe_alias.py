@@ -13,7 +13,8 @@ scripts/probe_bw.py on the fixed ~24 ms dispatch cost):
 
 The non-aliased variant is produced by stripping input_output_aliases
 from pl.pallas_call via a scoped monkeypatch (diagnostics only -- the
-package API deliberately has no toggle: aliased is simply correct).
+package API deliberately has no toggle: aliased is simply correct;
+machinery shared with bench.py's standing guard in utils/diag.py).
 
 Usage:  python scripts/probe_alias.py
 """
@@ -26,31 +27,11 @@ import sys as _sys
 _sys.path.insert(
     0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
-import contextlib
 import time
 
 import jax
-import jax.numpy as jnp
 
-
-@contextlib.contextmanager
-def no_aliasing():
-    """Scoped: make pl.pallas_call drop input_output_aliases."""
-    from jax.experimental import pallas as pl
-
-    real = pl.pallas_call
-
-    def patched(*a, **kw):
-        kw.pop("input_output_aliases", None)
-        return real(*a, **kw)
-
-    pl.pallas_call = patched
-    # the kernel module binds `pl` by module reference, so patching the
-    # attribute is enough; restore unconditionally
-    try:
-        yield
-    finally:
-        pl.pallas_call = real
+from cuda_iblb_11_tpu.utils.diag import no_aliasing
 
 
 def build(cfg, aliased: bool):
@@ -76,21 +57,14 @@ def timed(sim, steps, windows=3):
 
 def main():
     from cuda_iblb_11_tpu.core.config import SimConfig
-    from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
 
     assert jax.default_backend() == "tpu", "run on the TPU"
     cfg = SimConfig(c_num=16, c_space=128, ydim=2048, dtype="float32")
 
     # --- correctness at small scale: 64 steps, all three ways ----------
-    cfg_s = SimConfig(c_num=2, c_space=128, ydim=256, dtype="float32")
-    sa = build(cfg_s, aliased=True)
-    sn = build(cfg_s, aliased=False)
-    so = MucociliarySim(cfg_s, backend="jnp")
-    a = sa.run_chunk(sa.init_state(), 64)
-    n = sn.run_chunk(sn.init_state(), 64)
-    o = so.run_chunk(so.init_state(), 64)
-    bit_equal = bool(jnp.all(a.f == n.f)) and bool(a.q == n.q)
-    rel = float(jnp.linalg.norm(a.f - o.f) / jnp.linalg.norm(o.f))
+    from cuda_iblb_11_tpu.utils.diag import alias_bit_check
+
+    bit_equal, rel = alias_bit_check(64)
     print(f"aliased == non-aliased bit-identical @64 steps: {bit_equal}")
     print(f"aliased vs jnp oracle rel-L2 @64 steps: {rel:.3e}")
     assert bit_equal, "aliasing changed values -- DMA ordering violated"
