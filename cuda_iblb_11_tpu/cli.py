@@ -72,7 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "exactly (ImmersedBoundary.cu:119-124)")
     p.add_argument("--mesh", default=None, metavar="Y,X",
                    help="device-mesh shape for multi-chip spatial domain "
-                        "decomposition (e.g. 2,4); halos ride ICI ppermute")
+                        "decomposition (e.g. 2,4); halos ride ICI ppermute. "
+                        "'auto' picks the largest eligible factorization "
+                        "of the visible devices (balanced-first, x-major "
+                        "on ties) and records the pick in SimLog")
     p.add_argument("--resume", default=None, help="checkpoint .npz to resume")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="write a checkpoint every N iterations")
@@ -100,6 +103,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "Note the JAX_PLATFORMS env var is NOT reliable "
                         "here: an interpreter that pre-imports jax ignores "
                         "it, so the CLI sets it in-process")
+    p.add_argument("--snapshot-format", default="dat",
+                   choices=["dat", "npz"],
+                   help="BigData interval snapshots: 'dat' is the "
+                        "reference's byte-compatible text (main.cu:938-996);"
+                        " 'npz' stores the raw fields + scale factors "
+                        "binary (exactly text-recoverable) — at 8192² a "
+                        "text snapshot is multi-GB, the npz ~0.8 GB")
+    p.add_argument("--no-overlap", action="store_true",
+                   help="write interval snapshots strictly serially "
+                        "(pull → write → dispatch) instead of on a worker "
+                        "thread under the next chunk's device compute (the "
+                        "reference's o_stream analogue, main.cu:793-809); "
+                        "bytes are identical either way")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the first interval")
@@ -137,7 +153,8 @@ def main(argv=None) -> int:
         checkpoint_every=args.checkpoint_every, quiet=args.quiet,
         profile_dir=args.profile_dir, temporal=args.temporal,
         mesh=args.mesh, ib_x_edge=args.ib_x_edge,
-        checkpoint_format=args.checkpoint_format, pattern=args.pattern)
+        checkpoint_format=args.checkpoint_format, pattern=args.pattern,
+        snapshot_format=args.snapshot_format, overlap=not args.no_overlap)
     return 0
 
 

@@ -124,6 +124,32 @@ def write_fluid_snapshot(path: str, cfg: SimConfig, rho, u):
             fh.write("\n")  # blank line after each grid row (main.cu:968)
 
 
+def write_fluid_snapshot_npz(path: str, cfg: SimConfig, rho, u):
+    """Binary fluid snapshot for scale (an 8192^2 text snapshot is
+    multi-GB; the npz is ~0.8 GB).  Stores the RAW lattice-unit fields
+    plus the scale factors the text writer would have applied, so the
+    text form is exactly recoverable:
+    ``x*x_scale, y*x_scale, u*s_scale, |u|*s_scale, rho``
+    (main.cu:954-971 column semantics).  Atomic (tmp+rename) like the
+    npz checkpoints."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:  # file handle: numpy won't append .npz
+        np.savez(fh, rho=np.asarray(rho), u=np.asarray(u),
+                 x_scale=cfg.x_scale, s_scale=cfg.s_scale)
+    os.replace(tmp, path)
+
+
+def write_cilia_snapshot_npz(path: str, cfg: SimConfig, s, u_s, eps):
+    """Binary cilia snapshot: raw s [Ns,2], u_s [Ns,2], eps [Ns] plus
+    scales (text column semantics at main.cu:984-994)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, s=np.asarray(s), u_s=np.asarray(u_s),
+                 eps=np.asarray(eps), x_scale=cfg.x_scale,
+                 s_scale=cfg.s_scale, length=cfg.length)
+    os.replace(tmp, path)
+
+
 def write_cilia_snapshot(path: str, cfg: SimConfig, s, u_s, eps):
     """<it>-cilia.dat (main.cu:984-994).  s,u_s [Ns,2], eps [Ns]."""
     s = np.asarray(s, np.float64)    # f64 before scaling (see fluid writer)

@@ -9,20 +9,169 @@ import os
 import sys
 import time
 
+from concurrent.futures import ThreadPoolExecutor
+
 from cuda_iblb_11_tpu.core.config import SimConfig
 from cuda_iblb_11_tpu.io import checkpoint as ckpt
 from cuda_iblb_11_tpu.io.writers import (
     FluxWriter, OutputPaths, SimLog, write_cilia_snapshot,
-    write_fluid_snapshot,
+    write_cilia_snapshot_npz, write_fluid_snapshot,
+    write_fluid_snapshot_npz,
 )
 from cuda_iblb_11_tpu.models.mucociliary import MucociliarySim
 from cuda_iblb_11_tpu.utils.timing import ThroughputMeter, predict_completion, seconds
 
 
+class _SnapshotPipeline:
+    """Interval snapshot writer that overlaps host I/O with device compute.
+
+    The reference dedicates a CUDA stream to output so interval snapshots
+    ride alongside the next iterations' enqueued kernels (main.cu:793-809
+    o_stream/events, :926-933 async flux D2H, :938-996 snapshots while
+    compute is queued).  TPU analogue: the runner computes the output
+    fields ON DEVICE at the boundary, dispatches the next chunk (JAX async
+    dispatch returns immediately), kicks off the device→host copies
+    (``copy_to_host_async``), and hands the arrays to a single worker
+    thread that formats and writes the files while the TPU runs the chunk.
+    At 8192² a text snapshot is ~0.8 GB of transfer plus multi-GB of
+    formatted text — strictly serial, that all happened with the device
+    idle (the pre-r5 loop at runner.py history: pull → format → write →
+    only then dispatch).
+
+    One write may be outstanding at a time (``submit`` joins the previous
+    future first): bounds host memory to a single snapshot's arrays and
+    keeps file completion ordered.  Worker exceptions surface at the next
+    ``submit``/``close`` — never silently dropped.  ``overlap=False``
+    restores the strictly serial order (write completes before the chunk
+    is dispatched) for A/B measurement; bytes are identical either way
+    because the fields are computed from the SAME device state before the
+    chunk touches it (functional arrays — nothing mutates in place at the
+    JAX level)."""
+
+    def __init__(self, paths: OutputPaths, cfg: SimConfig,
+                 fmt: str = "dat", overlap: bool = True):
+        if fmt == "npz":
+            self._fluid, self._cilia = (write_fluid_snapshot_npz,
+                                        write_cilia_snapshot_npz)
+            self._ext = ".npz"
+        else:
+            from cuda_iblb_11_tpu.io import native
+
+            self._fluid = (native.write_fluid_snapshot if native.available()
+                           else write_fluid_snapshot)
+            self._cilia = (native.write_cilia_snapshot if native.available()
+                           else write_cilia_snapshot)
+            self._ext = ".dat"
+        self.paths, self.cfg, self.overlap = paths, cfg, overlap
+        self._pool = (ThreadPoolExecutor(max_workers=1,
+                                         thread_name_prefix="iblb-snap")
+                      if overlap else None)
+        self._pending = None
+
+    def _write(self, it, rho, u, s, u_s, eps):
+        self._fluid(os.path.join(self.paths.raw_dir,
+                                 f"{it}-fluid{self._ext}"),
+                    self.cfg, rho, u)
+        self._cilia(os.path.join(self.paths.cilia_dir,
+                                 f"{it}-cilia{self._ext}"),
+                    self.cfg, s, u_s, eps)
+
+    def submit(self, it, rho, u, s, u_s, eps):
+        """Overlap mode: start the D2H copies, join the previous write,
+        enqueue this one on the worker.  Called AFTER the next chunk is
+        dispatched, so the transfer + format + write all run under it."""
+        for a in (rho, u, s, u_s, eps):
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
+        if self._pending is not None:
+            self._pending.result()  # re-raises worker errors loudly
+        self._pending = self._pool.submit(self._write, it, rho, u,
+                                          s, u_s, eps)
+
+    def write_sync(self, it, rho, u, s, u_s, eps):
+        """Serial mode: write inline (device_get inside the writers)."""
+        self._write(it, rho, u, s, u_s, eps)
+
+    def close(self):
+        """Join the outstanding write (re-raising its error, if any)."""
+        try:
+            if self._pending is not None:
+                self._pending.result()
+                self._pending = None
+        finally:
+            if self._pool is not None:
+                self._pool.shutdown(wait=True)
+
+
+def _resolve_auto_mesh(cfg, backend):
+    """``--mesh auto``: the largest eligible (n_y, n_x) factorization of
+    the visible devices — a POLICY, not physics, mirroring ``--temporal
+    auto``'s contract (the pick + reason are recorded in SimLog; pass an
+    explicit Y,X for runs that must pin their decomposition).  The
+    scale-out analogue of the reference's per-cluster launch scripts
+    hardcoding a geometry per machine (cilia6.sh:7-17).
+
+    Candidates use ALL visible devices (ny*nx = n).  Preference order:
+    balanced shapes first (halo perimeter scales with the aspect ratio),
+    then x-major on ties (x-sharding keeps the cilia band shard-resident,
+    enabling the zero-collective band super-kernel).  A candidate is
+    pallas-eligible when every shard tile meets the sharded kernels'
+    structural constraints (xl % 128 == 0, ydim % 8*ny == 0, f32/bf16);
+    when the pallas path is wanted but no factorization qualifies, fall
+    back to the first candidate that divides the grid at all (jnp path).
+
+    Returns (mesh_str_or_None, reason).  None = run unsharded."""
+    import jax
+
+    n = len(jax.devices())
+    if n == 1:
+        return None, "auto: single visible device — unsharded"
+    cands = [(y, n // y) for y in range(1, n + 1) if n % y == 0]
+    cands.sort(key=lambda t: (abs(t[0] - t[1]), -t[1]))
+    pallas_want = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu")
+    fallback = None
+    for ny, nx in cands:
+        if cfg.ydim % ny or cfg.xdim % nx:
+            continue
+        if fallback is None:
+            fallback = (ny, nx)
+        xl = cfg.xdim // nx
+        pallas_ok = (xl % 128 == 0 and cfg.ydim % (8 * ny) == 0
+                     and str(cfg.dtype) in ("float32", "bfloat16"))
+        if pallas_ok and pallas_want:
+            return f"{ny},{nx}", (
+                f"auto: ({ny},{nx}) over {n} devices — balanced-first, "
+                f"x-major on ties; pallas-eligible shard tile "
+                f"{cfg.ydim // ny}x{xl}")
+    if fallback is not None:
+        ny, nx = fallback
+        why = ("no pallas-eligible factorization — jnp sharded path"
+               if pallas_want else "jnp sharded path")
+        return f"{ny},{nx}", (f"auto: ({ny},{nx}) over {n} devices — {why}")
+    return None, (f"auto: no factorization of {n} devices divides the "
+                  f"{cfg.ydim}x{cfg.xdim} grid — unsharded")
+
+
 def _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge="periodic",
               pattern="no_mucus"):
     """Build the simulation: single-device MucociliarySim, or a sharded sim
-    over a (Y, X) device mesh when `mesh` is given (e.g. "2,4")."""
+    over a (Y, X) device mesh when `mesh` is given ("2,4", or "auto" to
+    pick the largest eligible factorization of the visible devices)."""
+    mesh_reason = None
+    if str(mesh) == "auto":
+        mesh, mesh_reason = _resolve_auto_mesh(cfg, backend)
+    sim = _make_sim_resolved(cfg, backend, forcing, temporal, mesh,
+                             ib_x_edge, pattern)
+    if mesh_reason is not None:
+        sim.mesh_requested = "auto"
+        sim.mesh_reason = mesh_reason
+        sim.mesh_resolved = mesh
+    return sim
+
+
+def _make_sim_resolved(cfg, backend, forcing, temporal, mesh,
+                       ib_x_edge="periodic", pattern="no_mucus"):
     if not mesh:
         return MucociliarySim(cfg, backend=backend, forcing=forcing,
                               temporal=temporal, ib_x_edge=ib_x_edge,
@@ -182,7 +331,8 @@ def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
         checkpoint_every: int = 0, quiet: bool = False,
         profile_dir: str | None = None, temporal: int | str = 1,
         mesh: str | None = None, ib_x_edge: str = "periodic",
-        checkpoint_format: str = "npz", pattern: str = "no_mucus") -> dict:
+        checkpoint_format: str = "npz", pattern: str = "no_mucus",
+        snapshot_format: str = "dat", overlap: bool = True) -> dict:
     """See _run_body; this wrapper applies the ShARC device-selection
     semantics (pin single-device runs to device 3 when cfg.sharc, the
     reference's cudaSetDevice behaviour at main.cu:395-396)."""
@@ -192,7 +342,8 @@ def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
         resume_from=resume_from, checkpoint_every=checkpoint_every,
         quiet=quiet, profile_dir=profile_dir, temporal=temporal, mesh=mesh,
         ib_x_edge=ib_x_edge, checkpoint_format=checkpoint_format,
-        pattern=pattern, device=device)
+        pattern=pattern, snapshot_format=snapshot_format, overlap=overlap,
+        device=device)
     if device is not None:
         import jax
 
@@ -208,6 +359,7 @@ def _run_body(cfg: SimConfig, output_root: str = "Data/Test",
               profile_dir: str | None = None, temporal: int | str = 1,
               mesh: str | None = None, ib_x_edge: str = "periodic",
               checkpoint_format: str = "npz", pattern: str = "no_mucus",
+              snapshot_format: str = "dat", overlap: bool = True,
               device=None) -> dict:
     """Execute cfg.iterations steps with interval outputs.
 
@@ -218,7 +370,12 @@ def _run_body(cfg: SimConfig, output_root: str = "Data/Test",
     (sharded: each host writes its own shards; resume restores directly
     onto the mesh).  --resume auto-detects the format (orbax checkpoints
     are directories).
-    Returns a summary dict (runtime, MLUPS, final Q)."""
+    snapshot_format: "dat" (reference-byte-compatible text) or "npz"
+    (binary, for scale — an 8192² text snapshot is multi-GB).
+    overlap: write interval snapshots on a worker thread while the next
+    chunk runs on the device (the reference's o_stream analogue); False
+    restores the strictly serial pull→write→dispatch order.
+    Returns a summary dict (runtime, MLUPS incl. end-to-end, final Q)."""
     cfg.validate()
     sim = _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge,
                     pattern)
@@ -237,7 +394,12 @@ def _run_body(cfg: SimConfig, output_root: str = "Data/Test",
              "Dtype": str(sim.dtype)}
     if pattern != "no_mucus":
         extra["Pattern"] = pattern
-    if mesh:
+    if getattr(sim, "mesh_requested", None) == "auto":
+        # resolved pick + reason, like --temporal auto (policy decisions
+        # are reproducible from the run's own artifacts)
+        extra["Mesh"] = (f"{sim.mesh_resolved or 'unsharded'} "
+                         f"({sim.mesh_reason})")
+    elif mesh:
         extra["Mesh"] = mesh
     if device is not None:
         extra["Device"] = str(device)
@@ -319,34 +481,72 @@ def _run_body(cfg: SimConfig, output_root: str = "Data/Test",
         print("Running Simulation...")
 
     it = int(state.it)
+    it_start = it
     first_interval_logged = it > 0
     last_ckpt = it
+    snap = _SnapshotPipeline(paths, cfg, fmt=snapshot_format,
+                             overlap=overlap)
+    try:
+        _loop(cfg, sim, snap, flux, meter, simlog, interval, quiet,
+              profiling, profile_dir, checkpoint_every, checkpoint_format,
+              paths, start_epoch, t_start, state, it, first_interval_logged,
+              last_ckpt, summary_out := {})
+    finally:
+        snap.close()
+    state, it = summary_out["state"], summary_out["it"]
+
+    # Final flux row after the loop (main.cu:1030-1034).
+    flux.append(it, float(state.q))
+    runtime = seconds() - t_start
+    simlog.write_runtime(runtime)
+    steps_run = max(it - it_start, 0)
+    # end-to-end rate INCLUDING interval I/O — the basis the reference's
+    # derived 0.62 MLUPS is on (its SimLog runtime covers snapshot writes);
+    # meter.mlups remains the pure-compute rate (write time excluded)
+    mlups_e2e = (cfg.size * steps_run / runtime / 1e6) if runtime > 0 else 0.0
+    simlog.write_extra({"End-to-end MLUPS (incl. interval I/O)":
+                        f"{mlups_e2e:.1f}"})
+    summary = {
+        "iterations": it,
+        "runtime_s": runtime,
+        "mlups": meter.mlups,
+        "mlups_end_to_end": mlups_e2e,
+        "q_final": float(state.q),
+        "flux_path": paths.flux_path,
+        "resolved": resolved,
+    }
+    if not quiet:
+        print(f"Total runtime: {runtime:.2f}s  ({meter.mlups:.1f} MLUPS "
+              f"compute, {mlups_e2e:.1f} end-to-end)")
+    return summary
+
+
+def _loop(cfg, sim, snap, flux, meter, simlog, interval, quiet, profiling,
+          profile_dir, checkpoint_every, checkpoint_format, paths,
+          start_epoch, t_start, state, it, first_interval_logged, last_ckpt,
+          summary_out):
+    """The interval loop body (split out so the snapshot pipeline's
+    try/finally in _run_body stays flat)."""
     while it < cfg.iterations:
         # Output at the START of each interval boundary, like the reference
         # (it % INTERVAL == 0 inside the loop, main.cu:938).
-        if it % interval == 0:
+        boundary = it % interval == 0
+        if boundary:
             if cfg.bigdata:
-                from cuda_iblb_11_tpu.io import native
-
-                fluid_writer = (native.write_fluid_snapshot
-                                if native.available()
-                                else write_fluid_snapshot)
-                cilia_writer = (native.write_cilia_snapshot
-                                if native.available()
-                                else write_cilia_snapshot)
+                # compute the output fields ON DEVICE from the pre-chunk
+                # state; the host copy + write happen under the next chunk
                 rho, u = sim.fields(state)
-                fluid_writer(
-                    os.path.join(paths.raw_dir, f"{it}-fluid.dat"),
-                    cfg, rho, u)
                 s, u_s, eps = sim.boundary_fields(state)
-                cilia_writer(
-                    os.path.join(paths.cilia_dir, f"{it}-cilia.dat"),
-                    cfg, s, u_s, eps)
+                if not snap.overlap:
+                    snap.write_sync(it, rho, u, s, u_s, eps)
             flux.append(it, float(state.q))
 
         n = min(interval - it % interval, cfg.iterations - it)
         meter.start()
         state = sim.run_chunk(state, n)
+        if boundary and cfg.bigdata and snap.overlap:
+            # chunk is dispatched (async) — overlap the snapshot with it
+            snap.submit(it, rho, u, s, u_s, eps)
         state.q.block_until_ready()
         meter.stop(n)
         it = int(state.it)
@@ -381,18 +581,5 @@ def _run_body(cfg: SimConfig, output_root: str = "Data/Test",
                           state, cfg)
             last_ckpt = it
 
-    # Final flux row after the loop (main.cu:1030-1034).
-    flux.append(it, float(state.q))
-    runtime = seconds() - t_start
-    simlog.write_runtime(runtime)
-    summary = {
-        "iterations": it,
-        "runtime_s": runtime,
-        "mlups": meter.mlups,
-        "q_final": float(state.q),
-        "flux_path": paths.flux_path,
-        "resolved": resolved,
-    }
-    if not quiet:
-        print(f"Total runtime: {runtime:.2f}s  ({meter.mlups:.1f} MLUPS)")
-    return summary
+    summary_out["state"] = state
+    summary_out["it"] = it
