@@ -43,26 +43,35 @@ CFG_Y = SimConfig(c_num=3, c_space=128, ydim=288, dtype="float32")
 CFG_XY = SimConfig(c_num=16, c_space=128, ydim=288, dtype="float32")
 
 
-def collective_stats(jaxpr, mult=1, acc=None):
-    """Count collective equations and operand bytes in a (nested) jaxpr,
-    multiplying through scan trip counts."""
+def collective_entries(jaxpr, mult=1, acc=None):
+    """Every collective equation in a (nested) jaxpr as (prim, mult,
+    operand_bytes) entries — scan trip counts carried in `mult`."""
     if acc is None:
-        acc = {"ppermute": [0, 0], "psum": [0, 0]}
+        acc = []
     for eqn in jaxpr.eqns:
         prim = eqn.primitive.name
         m = mult * eqn.params["length"] if prim == "scan" else mult
         key = "psum" if prim.startswith("psum") else prim
-        if key in acc:
+        if key in ("ppermute", "psum"):
             nbytes = sum(v.aval.size * v.aval.dtype.itemsize
                          for v in eqn.invars if hasattr(v.aval, "size"))
-            acc[key][0] += mult
-            acc[key][1] += mult * nbytes
+            acc.append((key, mult, nbytes))
         for val in eqn.params.values():
             for v in (val if isinstance(val, (list, tuple)) else [val]):
                 if hasattr(v, "eqns"):           # raw Jaxpr
-                    collective_stats(v, m, acc)
+                    collective_entries(v, m, acc)
                 elif hasattr(v, "jaxpr"):        # ClosedJaxpr
-                    collective_stats(v.jaxpr, m, acc)
+                    collective_entries(v.jaxpr, m, acc)
+    return acc
+
+
+def collective_stats(jaxpr, mult=1):
+    """Count collective equations and operand bytes in a (nested) jaxpr,
+    multiplying through scan trip counts."""
+    acc = {"ppermute": [0, 0], "psum": [0, 0]}
+    for key, m, nbytes in collective_entries(jaxpr, mult):
+        acc[key][0] += m
+        acc[key][1] += m * nbytes
     return acc
 
 
@@ -134,3 +143,77 @@ def test_xsharded_super_collectives_independent_of_k():
     # per-step: 4 ppermutes per iteration (x pair + y pair)
     assert p16["ppermute"][0] == 4 * 16
     assert s16["ppermute"][0] < p16["ppermute"][0] / 4
+
+
+def _expected_xsuper_volumes(sim, K):
+    """The EXACT per-super-step collective multiset of the x-sharded
+    resident-band super-step (parallel/sharded._super_body_xsuper),
+    derived from the sim's own geometry (all f32, 4 B/elem):
+
+      ppermute (10 = 5 neighbour pairs):
+        2 x [9, yl, xpad]            bulk f1 ghost columns (_x_extend)
+        2 x [9, pad, xl + 2*xpad]    bulk ghost ROW blocks (one per K steps)
+        2 x [9, band+pad_s, gx]      band block ghost columns
+        2 x [2, band, gx]            force ghost columns
+        2 x [K, 9, 8, xpad]          per-sub-step seam f1 for the bulk
+                                     kernel (8 seam rows per sub-step)
+      psum (3):
+        1 x [9, band+pad_s, xl]      y-replicated band assembly
+        2 x scalar                   flux ('x' then 'y')
+
+    Returns ({prim: sorted byte list}) for exact comparison."""
+    yl, xl = sim.yl, sim.xl
+    xpad, pad = sim._xpad, sim._ghost_pad
+    band = sim.cfg.force_band
+    rows = band + sim._band_pad_s
+    gx = sim._band_super_x.gx
+    pp = sorted(4 * n for n in (
+        9 * yl * xpad, 9 * yl * xpad,
+        9 * pad * (xl + 2 * xpad), 9 * pad * (xl + 2 * xpad),
+        9 * rows * gx, 9 * rows * gx,
+        2 * band * gx, 2 * band * gx,
+        K * 9 * 8 * xpad, K * 9 * 8 * xpad,
+    ))
+    ps = sorted(4 * n for n in (9 * rows * xl, 1, 1))
+    return {"ppermute": pp, "psum": ps}
+
+
+def _traced_volumes(sim, K):
+    st = sim.init_state()
+    fn = sim._make_chunk(K)
+    jx = jax.make_jaxpr(fn)(st.f, st.force, st.lasts, st.q, st.it)
+    out = {"ppermute": [], "psum": []}
+    for prim, mult, nbytes in collective_entries(jx.jaxpr):
+        assert mult == 1, (
+            f"{prim} inside a scan (mult={mult}) — a collective has "
+            f"leaked into the K-sub-step loop")
+        out[prim].append(nbytes)
+    return {k: sorted(v) for k, v in out.items()}
+
+
+@needs8
+@pytest.mark.parametrize("K", [8, 16])
+def test_xsharded_super_exact_counts_and_bytes(K):
+    # VERDICT r4 item 8: the exact per-super-step collective multiset of
+    # band_super_xsharded — 10 ppermutes + 3 psums with the byte volumes
+    # documented in docs/PODS.md, none inside the K-sub-step scan
+    sim = ShardedTemporalSim(CFG_XY, make_mesh(2, 2), temporal=K)
+    assert sim.resolved_config()["band_leg"] == "band_super_xsharded"
+    got = _traced_volumes(sim, K)
+    want = _expected_xsuper_volumes(sim, K)
+    assert len(got["ppermute"]) == 10 and len(got["psum"]) == 3
+    assert got == want
+
+
+@needs8
+def test_xsharded_super_phase_general_exact_counts_and_bytes():
+    # the r4 phase-general variant (xl NOT a c_space multiple) must keep
+    # the identical collective structure — only gx (and pad_s) differ
+    cfg = SimConfig(c_num=10, c_space=256, ydim=288, dtype="float32")
+    sim = ShardedTemporalSim(cfg, make_mesh(2, 4), temporal=4)
+    assert sim._band_super_x is not None and sim._band_super_x.phase_general
+    assert sim.resolved_config()["band_leg"] == "band_super_xsharded_phase"
+    got = _traced_volumes(sim, 4)
+    want = _expected_xsuper_volumes(sim, 4)
+    assert len(got["ppermute"]) == 10 and len(got["psum"]) == 3
+    assert got == want
