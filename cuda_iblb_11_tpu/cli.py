@@ -46,7 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Guo forcing scheme; 'reference' replicates the CUDA "
                         "exactly but is IB-unstable at default parameters")
     p.add_argument("--dtype", default=None,
-                   choices=["float32", "float64", "bfloat16"])
+                   choices=["float32", "float64", "bfloat16"],
+                   help="state precision.  float64 is the opt-in "
+                        "high-precision mode: real f64 on CPU, XLA's "
+                        "native f32x2 (double-single) emulation on TPU "
+                        "(jnp backend; ~1e-12-class agreement with the "
+                        "CPU oracle, measured in validation/f64_tpu.json)")
     p.add_argument("--temporal", type=_temporal_arg, default="auto",
                    metavar="K",
                    help="K-step temporal blocking for the pallas backend "
@@ -128,6 +133,14 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.dtype == "float64":
+        # without x64 every f64 array silently truncates to f32; with it,
+        # the jnp backend runs real f64 on CPU and XLA's native f32x2
+        # (double-single) emulation on TPU — measured ~1e-12-class
+        # agreement with the CPU f64 oracle (validation/f64_tpu.json)
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     if args.distributed:
         # must run before any backend use; on multi-host pods every
         # process then sees the global device set, and shard_map meshes

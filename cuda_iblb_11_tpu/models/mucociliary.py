@@ -114,6 +114,17 @@ class MucociliarySim:
         self.walls = walls
         self.forcing = forcing
         self.dtype = jnp.dtype(dtype or cfg.dtype)
+        if self.dtype == jnp.dtype("float64") and not jax.config.jax_enable_x64:
+            # without x64 every jnp.zeros(..., float64) silently truncates
+            # to f32 and the "high-precision" run would be an f32 run
+            raise ValueError(
+                "dtype float64 needs jax x64 enabled: run via the CLI "
+                "(--dtype float64 enables it), or set "
+                "jax.config.update('jax_enable_x64', True) / use the "
+                "scoped jax.enable_x64(True) context before constructing "
+                "the sim.  On TPU the f64 path runs the jnp backend under "
+                "XLA's native f32x2 (double-single) emulation — see "
+                "docs/DESIGN.md 'High-precision mode'.")
         # boundary/IB quantities stay >= f32 even with bf16 fluid storage
         self.aux_dtype = jnp.promote_types(self.dtype, jnp.float32)
         self.cilia = CiliaModel(cfg, dtype=self.aux_dtype, pattern=pattern)
@@ -141,6 +152,16 @@ class MucociliarySim:
             backend = "jnp" if reasons else "pallas"
             self.backend_reason = ("auto: " + "; ".join(reasons)
                                    if reasons else "auto: eligible")
+        if (backend == "pallas" and jax.default_backend() == "tpu"
+                and self.dtype not in (jnp.float32, jnp.bfloat16)):
+            # interpret-mode (CPU) pallas runs f64 fine and the equivalence
+            # tests rely on it; Mosaic on real TPU does not
+            raise ValueError(
+                f"the pallas backend is f32/bf16 only on TPU (got "
+                f"{self.dtype}); float64 runs the jnp backend — on TPU "
+                "under XLA's native f32x2 (double-single) emulation, "
+                "~1e-11-class full-beat agreement with the CPU f64 oracle "
+                "(validation/f64_tpu.json)")
         self.backend = backend
         self.storage = cfg.storage_resolved
         self.temporal_requested = temporal

@@ -73,6 +73,23 @@ def test_baseline_status_mlups_matches_latest_bench():
         f"{measured} — rewrite the status paragraph")
 
 
+def test_migration_mlups_matches_latest_bench():
+    # docs/MIGRATION.md's "Performance expectations" figure drifted
+    # unnoticed through r4 because only README/BASELINE were gated.
+    measured = _latest_bench_mlups()
+    if measured is None or measured == 0:
+        return
+    with open(os.path.join(REPO, "docs", "MIGRATION.md")) as fh:
+        text = fh.read()
+    m = re.search(r"\*\*~([\d,]+) MLUPS\*\*", text)
+    assert m, ("MIGRATION.md must carry the bold throughput figure "
+               "('**~N,NNN MLUPS**')")
+    stated = float(m.group(1).replace(",", ""))
+    assert abs(stated - measured) / measured < 0.15, (
+        f"MIGRATION.md says {stated} MLUPS; latest bench records "
+        f"{measured} — refresh the performance-expectations paragraph")
+
+
 def test_readme_headline_mlups_matches_latest_bench():
     # the README perf table's benchmark-mode number must track the latest
     # recorded benchmark within run-to-run variance (+-2-4% through the
