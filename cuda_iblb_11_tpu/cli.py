@@ -120,7 +120,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(pull → write → dispatch) instead of on a worker "
                         "thread under the next chunk's device compute (the "
                         "reference's o_stream analogue, main.cu:793-809); "
-                        "bytes are identical either way")
+                        "bytes are identical either way.  MEASURED "
+                        "(validation/bigdata_e2e.json): overlap is +59% "
+                        "for npz snapshots but ~9% SLOWER for the text "
+                        "format on a 1-core host (19 s of formatting per "
+                        "snapshot saturates the only core) — pass this "
+                        "flag for text snapshots on single-core hosts")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the first interval")

@@ -59,9 +59,28 @@ def main():
                     help="result JSON (default validation/bigdata_e2e.json)")
     ap.add_argument("--work", default="/tmp/iblb_bigdata",
                     help="scratch output root (deleted between configs)")
+    ap.add_argument("--only", default=None,
+                    help="comma list of configs to (re)run, e.g. "
+                         "'npz_on,npz_off'; others keep their rows from "
+                         "an existing result JSON")
     args = ap.parse_args()
 
-    assert jax.default_backend() == "tpu", "run on the TPU"
+    # discovery watchdog (same failure mode bench.py guards): with the
+    # TPU plugin registered but its tunnel wedged, jax.default_backend()
+    # blocks forever — observed again r5 (a 20-minute silent hang)
+    import threading
+
+    found = {}
+
+    def probe():
+        found["backend"] = jax.default_backend()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(300)
+    assert found.get("backend") == "tpu", (
+        f"TPU backend not available within 300s (got {found}); "
+        "is the tunnel up?")
     repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     out_path = args.out or _os.path.join(repo, "validation",
                                          "bigdata_e2e.json")
@@ -84,9 +103,24 @@ def main():
     shutil.rmtree(warm_root, ignore_errors=True)
     print("warmup done")
 
+    # merge with any earlier partial record so the matrix can be filled
+    # in across invocations (--only), and write after EVERY config — a
+    # timeout or device fault must not lose a 25-minute measurement
     results = []
+    if _os.path.exists(out_path):
+        try:
+            with open(out_path) as fh:
+                results = json.load(fh).get("runs", [])
+        except (OSError, ValueError):
+            results = []
+    wanted = [w for w in (args.only.split(",") if args.only else [])]
     for fmt in ("dat", "npz"):
         for overlap in (True, False):
+            key = f"{fmt}_{'on' if overlap else 'off'}"
+            if wanted and key not in wanted:
+                continue
+            results = [r for r in results
+                       if (r["format"], r["overlap"]) != (fmt, overlap)]
             root = _os.path.join(args.work, f"{fmt}_{overlap}")
             shutil.rmtree(root, ignore_errors=True)
             t0 = time.time()
@@ -105,9 +139,17 @@ def main():
                 "bytes_written": nbytes,
                 "resolved": summary["resolved"],
             }
-            print(json.dumps(row))
+            print(json.dumps(row), flush=True)
             results.append(row)
             shutil.rmtree(root, ignore_errors=True)
+            _write_record(out_path, cfg, results)
+
+    _write_record(out_path, cfg, results)
+    print(f"wrote {out_path}")
+
+
+def _write_record(out_path, cfg, results):
+    import jax
 
     record = {
         "config": {"grid": f"{cfg.xdim}x{cfg.ydim}",
@@ -118,14 +160,14 @@ def main():
         "device": str(jax.devices()[0]),
         "jax": jax.__version__,
         "note": ("end-to-end = size*steps/runtime incl. interval I/O; "
-                 "compute = chunk time only.  Reference basis: its 0.62 "
-                 "MLUPS derived rate includes interval output "
-                 "(main.cu:1007-1022)."),
+                 "compute = chunk time only (but measured under the "
+                 "writer thread's host-core contention).  Reference "
+                 "basis: its 0.62 MLUPS derived rate includes interval "
+                 "output (main.cu:1007-1022)."),
         "runs": results,
     }
     with open(out_path, "w") as fh:
         json.dump(record, fh, indent=1)
-    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

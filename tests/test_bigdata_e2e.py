@@ -1,0 +1,82 @@
+"""Gates on the committed end-to-end BigData throughput measurement
+(VERDICT r4 item 2 / missing-1): the first numbers the repo has for the
+full interval-output story — the basis the reference's own derived 0.62
+MLUPS is on (its SimLog runtime covers snapshot writes,
+main.cu:1007-1022).  validation/bigdata_e2e.json is written on the TPU
+host by scripts/measure_bigdata.py (full beat, 2048^2, BigData=1,
+P_num=100, {dat,npz} x {overlap,serial}); byte-identity of overlapped
+vs serial snapshots is tested separately in tests/test_output_overlap.py.
+"""
+
+import json
+import os
+
+JSON = os.path.join(os.path.dirname(__file__), "..", "validation",
+                    "bigdata_e2e.json")
+
+
+def _json():
+    with open(JSON) as fh:
+        return json.load(fh)
+
+
+def _runs():
+    return {(r["format"], r["overlap"]): r for r in _json()["runs"]}
+
+
+def test_full_matrix_present():
+    j = _json()
+    assert j["config"]["grid"] == "2048x2048"
+    assert j["config"]["iterations"] == 100_000
+    assert j["config"]["p_num"] == 100
+    assert set(_runs()) == {("dat", True), ("dat", False),
+                            ("npz", True), ("npz", False)}
+
+
+def test_end_to_end_rate_is_below_compute_rate():
+    """Interval I/O can only subtract; a violation means the accounting
+    broke (e.g. the meter started including write time)."""
+    for r in _runs().values():
+        assert r["mlups_end_to_end"] <= r["mlups_compute"] * 1.02, r
+
+
+def test_overlap_delta_within_measured_envelope():
+    """MEASURED FINDINGS (r5, recorded — not assumed).  npz: the overlap
+    pipeline is worth +59% end-to-end (1,599 vs 1,007 MLUPS) — write
+    costs near the compute window pipeline well.  dat on this ONE-core
+    host: overlap is ~9% SLOWER (294 vs 321) — 19 s of text formatting
+    per snapshot saturates the only core and contends with the dispatch
+    loop instead of hiding under it, a regime the reference never sees
+    (its o_stream rides a spare CPU); --no-overlap is the right call
+    there and the CLI help says so.  Gates: npz overlap must keep
+    winning; dat must stay within the measured envelope so a future
+    change that makes overlap catastrophically worse (e.g. a second
+    outstanding snapshot pinning GBs) still fails loudly."""
+    runs = _runs()
+    assert (runs[("npz", True)]["mlups_end_to_end"]
+            > runs[("npz", False)]["mlups_end_to_end"] * 1.10)
+    on = runs[("dat", True)]["mlups_end_to_end"]
+    off = runs[("dat", False)]["mlups_end_to_end"]
+    assert on >= off * 0.80, (on, off)
+
+
+def test_snapshot_volume_recorded():
+    """The dat format's cost is the point of --snapshot-format npz: the
+    full-beat dat tree must be dramatically larger than npz."""
+    runs = _runs()
+    dat_bytes = runs[("dat", True)]["bytes_written"]
+    npz_bytes = runs[("npz", True)]["bytes_written"]
+    assert dat_bytes > 10e9       # ~21 GB of formatted text at 2048^2
+    assert npz_bytes < dat_bytes / 4
+
+
+def test_end_to_end_still_beats_reference_by_orders():
+    """Even with every interval snapshot written — on a host with ONE
+    shared core doing all the text formatting — the end-to-end rate must
+    stay >=150x the reference's 0.62 MLUPS (which also included its
+    interval I/O), and the binary npz path must beat the text path."""
+    runs = _runs()
+    for r in runs.values():
+        assert r["mlups_end_to_end"] > 93.0, r
+    assert (runs[("npz", True)]["mlups_end_to_end"]
+            > runs[("dat", True)]["mlups_end_to_end"])
