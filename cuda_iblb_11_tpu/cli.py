@@ -115,17 +115,22 @@ def build_parser() -> argparse.ArgumentParser:
                         " 'npz' stores the raw fields + scale factors "
                         "binary (exactly text-recoverable) — at 8192² a "
                         "text snapshot is multi-GB, the npz ~0.8 GB")
-    p.add_argument("--no-overlap", action="store_true",
-                   help="write interval snapshots strictly serially "
-                        "(pull → write → dispatch) instead of on a worker "
-                        "thread under the next chunk's device compute (the "
-                        "reference's o_stream analogue, main.cu:793-809); "
-                        "bytes are identical either way.  MEASURED "
-                        "(validation/bigdata_e2e.json): overlap is +59% "
-                        "for npz snapshots but ~9% SLOWER for the text "
-                        "format on a 1-core host (19 s of formatting per "
-                        "snapshot saturates the only core) — pass this "
-                        "flag for text snapshots on single-core hosts")
+    p.add_argument("--overlap", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="interval snapshots on a worker thread under the "
+                        "next chunk's device compute ('on', the "
+                        "reference's o_stream analogue, main.cu:793-809) "
+                        "vs strictly serial pull → write → dispatch "
+                        "('off'); bytes are identical either way.  "
+                        "MEASURED (validation/bigdata_e2e.json): overlap "
+                        "is +59% for npz snapshots but ~9% SLOWER for the "
+                        "text format on a 1-core host (19 s of formatting "
+                        "per snapshot saturates the only core).  'auto' "
+                        "(default) applies that finding — on, except text "
+                        "snapshots on <=2-core hosts — and records the "
+                        "pick + reason in SimLog")
+    p.add_argument("--no-overlap", dest="overlap", action="store_const",
+                   const="off", help="alias for --overlap off")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the first interval")
@@ -172,7 +177,7 @@ def main(argv=None) -> int:
         profile_dir=args.profile_dir, temporal=args.temporal,
         mesh=args.mesh, ib_x_edge=args.ib_x_edge,
         checkpoint_format=args.checkpoint_format, pattern=args.pattern,
-        snapshot_format=args.snapshot_format, overlap=not args.no_overlap)
+        snapshot_format=args.snapshot_format, overlap=args.overlap)
     return 0
 
 

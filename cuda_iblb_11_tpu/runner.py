@@ -103,6 +103,42 @@ class _SnapshotPipeline:
                 self._pool.shutdown(wait=True)
 
 
+def _resolve_overlap(overlap, snapshot_format: str):
+    """``--overlap auto``: overlap interval output with compute unless the
+    measured tradeoff says not to — a POLICY with the pick + reason
+    recorded in SimLog, mirroring ``--temporal auto`` / ``--mesh auto``.
+
+    MEASURED (validation/bigdata_e2e.json, 2048² x 100k steps, P_num=100,
+    interval=1000): npz snapshots are +59% end-to-end with overlap on
+    (1,599 vs 1,007 MLUPS) — the worker thread's cheap binary pack rides
+    under the chunk.  The text format on a 1-core host is ~9% SLOWER with
+    overlap (294 vs 321): ~19 s of float formatting per snapshot saturates
+    the only core and starves the dispatch loop (the reference never hits
+    this — its o_stream formatting rides a spare CPU core,
+    main.cu:793-809).  So auto = on, EXCEPT text snapshots on hosts
+    without a spare core for the formatter.
+
+    Accepts bools (API callers pin the mode for A/B runs) and the CLI
+    strings {"auto", "on", "off"}.  Returns (bool, reason)."""
+    if isinstance(overlap, bool):
+        return overlap, "requested"
+    if overlap == "on":
+        return True, "requested"
+    if overlap == "off":
+        return False, "requested"
+    if overlap != "auto":
+        raise ValueError(f"overlap must be a bool or one of "
+                         f"auto/on/off, got {overlap!r}")
+    cores = os.cpu_count() or 1
+    if snapshot_format == "dat" and cores <= 2:
+        return False, (f"auto: serial — text formatting on a {cores}-core "
+                       f"host starves the dispatch loop (measured ~9% "
+                       f"slower overlapped, validation/bigdata_e2e.json)")
+    return True, ("auto: overlapped — snapshot write rides under the next "
+                  "chunk's device compute (measured +59% for npz, "
+                  "validation/bigdata_e2e.json)")
+
+
 def _resolve_auto_mesh(cfg, backend):
     """``--mesh auto``: the largest eligible (n_y, n_x) factorization of
     the visible devices — a POLICY, not physics, mirroring ``--temporal
@@ -332,7 +368,8 @@ def run(cfg: SimConfig, output_root: str = "Data/Test", backend: str = "auto",
         profile_dir: str | None = None, temporal: int | str = 1,
         mesh: str | None = None, ib_x_edge: str = "periodic",
         checkpoint_format: str = "npz", pattern: str = "no_mucus",
-        snapshot_format: str = "dat", overlap: bool = True) -> dict:
+        snapshot_format: str = "dat",
+        overlap: bool | str = "auto") -> dict:
     """See _run_body; this wrapper applies the ShARC device-selection
     semantics (pin single-device runs to device 3 when cfg.sharc, the
     reference's cudaSetDevice behaviour at main.cu:395-396)."""
@@ -359,7 +396,7 @@ def _run_body(cfg: SimConfig, output_root: str = "Data/Test",
               profile_dir: str | None = None, temporal: int | str = 1,
               mesh: str | None = None, ib_x_edge: str = "periodic",
               checkpoint_format: str = "npz", pattern: str = "no_mucus",
-              snapshot_format: str = "dat", overlap: bool = True,
+              snapshot_format: str = "dat", overlap: bool | str = "auto",
               device=None) -> dict:
     """Execute cfg.iterations steps with interval outputs.
 
@@ -374,9 +411,12 @@ def _run_body(cfg: SimConfig, output_root: str = "Data/Test",
     (binary, for scale — an 8192² text snapshot is multi-GB).
     overlap: write interval snapshots on a worker thread while the next
     chunk runs on the device (the reference's o_stream analogue); False
-    restores the strictly serial pull→write→dispatch order.
+    restores the strictly serial pull→write→dispatch order; "auto"
+    (default) picks per format + host cores from the measured tradeoff
+    (_resolve_overlap) and records the pick + reason in SimLog.
     Returns a summary dict (runtime, MLUPS incl. end-to-end, final Q)."""
     cfg.validate()
+    overlap, overlap_reason = _resolve_overlap(overlap, snapshot_format)
     sim = _make_sim(cfg, backend, forcing, temporal, mesh, ib_x_edge,
                     pattern)
     profiling = False
@@ -414,6 +454,9 @@ def _run_body(cfg: SimConfig, output_root: str = "Data/Test",
     extra["Kernel path"] = resolved["band_leg"]
     extra["Storage"] = resolved["storage"]
     extra["IB path"] = resolved["ib_path"]
+    if cfg.bigdata:
+        extra["Snapshot overlap"] = (
+            f"{'on' if overlap else 'off'} ({overlap_reason})")
     extra["Temporal K"] = resolved["temporal"]
     if resolved.get("temporal_requested") == "auto":
         extra["Temporal K"] = (
@@ -514,6 +557,8 @@ def _run_body(cfg: SimConfig, output_root: str = "Data/Test",
         "q_final": float(state.q),
         "flux_path": paths.flux_path,
         "resolved": resolved,
+        "snapshot_overlap": overlap,
+        "snapshot_overlap_reason": overlap_reason,
     }
     if not quiet:
         print(f"Total runtime: {runtime:.2f}s  ({meter.mlups:.1f} MLUPS "

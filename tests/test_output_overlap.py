@@ -120,3 +120,43 @@ def test_worker_write_errors_surface(tmp_path):
     snap.submit(0, rho, u, s, s, eps)
     with pytest.raises(OSError):
         snap.close()
+
+
+def test_overlap_auto_policy(monkeypatch):
+    """--overlap auto applies the MEASURED tradeoff
+    (validation/bigdata_e2e.json): on for npz always; off for the text
+    format only when the host lacks a spare core for the 19 s/snapshot
+    formatter (the reference's o_stream formatting always had one,
+    main.cu:793-809).  Explicit requests — bools from API callers, on/off
+    from the CLI — always win."""
+    from cuda_iblb_11_tpu.runner import _resolve_overlap
+
+    monkeypatch.setattr(os, "cpu_count", lambda: 1)
+    on, reason = _resolve_overlap("auto", "npz")
+    assert on and reason.startswith("auto")
+    off, reason = _resolve_overlap("auto", "dat")
+    assert not off and "core" in reason
+
+    monkeypatch.setattr(os, "cpu_count", lambda: 8)
+    assert _resolve_overlap("auto", "dat")[0]
+
+    # explicit requests are never overridden
+    assert _resolve_overlap(True, "dat") == (True, "requested")
+    assert _resolve_overlap(False, "npz") == (False, "requested")
+    assert _resolve_overlap("on", "dat")[0]
+    assert not _resolve_overlap("off", "npz")[0]
+    with pytest.raises(ValueError):
+        _resolve_overlap("maybe", "dat")
+
+
+def test_overlap_auto_pick_recorded(tmp_path):
+    """The resolved overlap mode + reason land in the run summary and the
+    SimLog (the resolved-config contract: every auto policy is
+    reproducible from the run's own artifacts)."""
+    out = run(CFG, output_root=str(tmp_path), quiet=True,
+              snapshot_format="npz", overlap="auto")
+    assert out["snapshot_overlap"] is True
+    assert out["snapshot_overlap_reason"].startswith("auto")
+    log = open(os.path.join(str(tmp_path), "Raw", "4", "1",
+                            "SimLog.txt")).read()
+    assert "Snapshot overlap: on (auto" in log
