@@ -47,8 +47,9 @@ def test_overlap_delta_within_measured_envelope():
     host: overlap is ~9% SLOWER (294 vs 321) — 19 s of text formatting
     per snapshot saturates the only core and contends with the dispatch
     loop instead of hiding under it, a regime the reference never sees
-    (its o_stream rides a spare CPU); --no-overlap is the right call
-    there and the CLI help says so.  Gates: npz overlap must keep
+    (its o_stream rides a spare CPU); the default `--overlap auto`
+    resolves to serial exactly there (runner._resolve_overlap, gated in
+    tests/test_output_overlap.py).  Gates: npz overlap must keep
     winning; dat must stay within the measured envelope so a future
     change that makes overlap catastrophically worse (e.g. a second
     outstanding snapshot pinning GBs) still fails loudly."""
