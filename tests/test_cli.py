@@ -190,3 +190,17 @@ def test_cli_mesh_temporal_matches_single_device(tmp_path):
     a = np.loadtxt(tmp_path / "single" / "Flux" / "1_3_128_1_1x5-flux.dat")
     b = np.loadtxt(tmp_path / "mesh" / "Flux" / "1_3_128_1_1x5-flux.dat")
     np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-12)
+
+
+def test_cli_overlap_flag_variants(tmp_path):
+    """--overlap {auto,on,off} parses and lands in the SimLog resolved
+    record; --no-overlap stays as a back-compat alias for --overlap off
+    (the flag shipped first in r5 as a boolean)."""
+    base = ["1", "4", "48", "1.0", "1.0", "5", "0.001", "2", "0", "1",
+            "--quiet", "--snapshot-format", "npz"]
+    for i, extra in enumerate((["--overlap", "on"], ["--no-overlap"])):
+        out = tmp_path / str(i)
+        assert main(base + ["--output", str(out)] + extra) == 0
+        log = (out / "Raw" / "4" / "1" / "SimLog.txt").read_text()
+        want = "on (requested)" if i == 0 else "off (requested)"
+        assert f"Snapshot overlap: {want}" in log
